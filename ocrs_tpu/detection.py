@@ -1,0 +1,165 @@
+"""Text detection: jitted model pass + mask post-processing.
+
+Pipeline parity with the reference TextDetector
+(/root/reference/ocrs/src/detection.rs:104-200):
+
+  1. Pad the greyscale page bottom/right with ``BLACK_VALUE`` up to the
+     model's fixed input size (small images are padded, not upscaled, to
+     avoid distorting text — detection.rs:148-154).
+  2. Bilinear-resize to the model input size.
+  3. Run the segmentation model -> per-pixel text probability map.
+  4. Crop off the padding and resize the map back to the original size so
+     downstream coordinates live in input-image space (detection.rs:187-198).
+  5. Threshold (default 0.2) -> binary mask -> connected components ->
+     min-area rotated rects, expanded by 3 px per side, filtered by
+     min area 100 (detection.rs:12-37,104-122).
+
+Steps 1-4 plus thresholding are one fused jitted XLA computation per input
+size, so the page tensor never leaves HBM. Step 5 runs either on host (exact,
+scipy labelling + rotating calipers) or fully on device (see
+:mod:`ocrs_tpu.ops.rects`), selected by ``postprocess``.
+
+Deviation from the reference: we fit min-area rects to the full component
+boundary point set instead of a Douglas-Peucker-simplified contour
+(detection.rs:50, epsilon=2); rect differences are bounded by the epsilon the
+reference deliberately discards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Literal, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .geometry import RotatedRect, min_area_rect
+from .models.protocol import Model, fixed_hw
+from .ops.connected_components import (
+    component_boundary_points,
+    label_components_host,
+)
+from .ops import rects as device_rects
+from .ops.resize import resize_bilinear
+from .preprocess import BLACK_VALUE
+
+
+@dataclass(frozen=True)
+class TextDetectorParams:
+    """Post-processing knobs (detection.rs:12-37)."""
+
+    min_area: float = 100.0
+    text_threshold: float = 0.2
+
+
+#: Distance (px) to expand each detected word rect per side; the model is
+#: trained to under-segment to separate adjacent words (detection.rs:108-117).
+EXPAND_DIST = 3.0
+
+
+def rects_from_mask_host(
+    mask: np.ndarray, expand_dist: float, min_area: float
+) -> list[RotatedRect]:
+    """Exact host post-processing: connected components -> min-area rects.
+
+    Mirrors ``find_connected_component_rects`` (detection.rs:41-62): fit the
+    min-area rect of each component's outer boundary, grow width/height by
+    ``2 * expand_dist`` and drop rects below ``min_area``.
+    """
+    labels, count = label_components_host(mask)
+    out: list[RotatedRect] = []
+    for pts in component_boundary_points(labels, count):
+        rect = min_area_rect(pts)
+        if rect is None:
+            continue
+        rect.resize(rect.width + 2.0 * expand_dist, rect.height + 2.0 * expand_dist)
+        if rect.area() >= min_area:
+            out.append(rect)
+    return out
+
+
+class TextDetector:
+    """Finds oriented bounding boxes of words in an image."""
+
+    def __init__(
+        self,
+        model: Model,
+        params: TextDetectorParams = TextDetectorParams(),
+        postprocess: Literal["host", "device"] = "host",
+    ):
+        self._model = model
+        self._params = params
+        self._input_hw = fixed_hw(model.input_shape())
+        self._postprocess = postprocess
+
+    @property
+    def threshold(self) -> float:
+        return self._params.text_threshold
+
+    @property
+    def input_hw(self) -> tuple[int, int]:
+        return self._input_hw
+
+    def detect_text_pixels(self, image: jax.Array, debug: bool = False) -> jax.Array:
+        """(1, H, W) normalized greyscale -> (H, W) text probability map.
+
+        The pad/resize pre-pass and crop/resize-back post-pass are jitted per
+        original image size; the model pass is the model's own compiled apply
+        (its weights stay runtime arguments, not trace constants). All three
+        run back-to-back on device — the page never returns to host.
+        """
+        if image.ndim != 3 or image.shape[0] != 1:
+            raise ValueError(f"expected (1, H, W) image, got {image.shape}")
+        _, img_h, img_w = image.shape
+        in_h, in_w = self._input_hw
+        pad_bottom = max(in_h - img_h, 0)
+        pad_right = max(in_w - img_w, 0)
+        x = _pre(image, input_hw=self._input_hw, pads=(pad_bottom, pad_right))
+        probs = self._model.run(x)
+        return _post(
+            probs,
+            out_hw=(img_h, img_w),
+            crop_hw=(in_h - pad_bottom, in_w - pad_right),
+        )
+
+    def detect_words(self, image: jax.Array, debug: bool = False) -> list[RotatedRect]:
+        """(1, H, W) normalized greyscale -> unordered word rects."""
+        probs = self.detect_text_pixels(image, debug=debug)
+        if self._postprocess == "device":
+            return device_rects.rects_from_mask_device(
+                probs > self._params.text_threshold,
+                expand_dist=EXPAND_DIST,
+                min_area=self._params.min_area,
+            )
+        mask = np.asarray(probs) > self._params.text_threshold
+        return rects_from_mask_host(
+            mask, expand_dist=EXPAND_DIST, min_area=self._params.min_area
+        )
+
+
+@partial(jax.jit, static_argnames=("input_hw", "pads"))
+def _pre(image: jax.Array, *, input_hw: tuple[int, int], pads: tuple[int, int]) -> jax.Array:
+    """Pad bottom/right with BLACK_VALUE, then resize to the model input size
+    (detection.rs:155-171)."""
+    pad_bottom, pad_right = pads
+    x = image[None]  # [1, 1, H, W]
+    if pad_bottom or pad_right:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, pad_bottom), (0, pad_right)),
+            constant_values=BLACK_VALUE,
+        )
+    if x.shape[-2:] != input_hw:
+        x = resize_bilinear(x, input_hw)
+    return x
+
+
+@partial(jax.jit, static_argnames=("out_hw", "crop_hw"))
+def _post(probs: jax.Array, *, out_hw: tuple[int, int], crop_hw: tuple[int, int]) -> jax.Array:
+    """Crop the padding region off the probability map and resize it back to
+    input-image coordinates (detection.rs:187-198)."""
+    probs = probs[..., : crop_hw[0], : crop_hw[1]]
+    probs = resize_bilinear(probs, out_hw)
+    return probs.reshape(out_hw)

@@ -1,0 +1,170 @@
+"""OcrEngine: the public pipeline facade.
+
+API parity with the reference engine (/root/reference/ocrs/src/lib.rs:130-301):
+``prepare_input``, ``detect_words``, ``detect_text_pixels``,
+``find_text_lines``, ``recognize_text``, ``prepare_recognition_input``,
+``detection_threshold``, ``get_text`` — plus the same configuration surface
+(``OcrEngineParams``: models, debug, decode method, alphabet, allowed chars;
+lib.rs:38-71).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Literal, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .detection import TextDetector, TextDetectorParams
+from .errors import ModelNotLoadedError
+from .geometry import RotatedRect
+from .layout import find_text_lines
+from .models.protocol import Model
+from .preprocess import ImageSource, prepare_image
+from .recognition import (
+    DecodeMethod,
+    Greedy,
+    RecognitionOpt,
+    TextRecognizer,
+)
+from .text_items import TextLine
+
+#: Characters the recognition model was trained on; label i (>=1) maps to
+#: DEFAULT_ALPHABET[i-1], label 0 is the CTC blank (lib.rs:33-34).
+DEFAULT_ALPHABET = (
+    " 0123456789!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~€"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+@dataclass
+class OcrEngineParams:
+    """Engine configuration (lib.rs:38-71), extended with TPU-specific knobs
+    that have no reference counterpart (bucketing, post-processing placement)."""
+
+    detection_model: Optional[Model] = None
+    recognition_model: Optional[Model] = None
+    debug: bool = False
+    decode_method: DecodeMethod = field(default_factory=Greedy)
+    alphabet: Optional[str] = None
+    allowed_chars: Optional[str] = None
+
+    # --- TPU-native extensions ---
+    detector_params: TextDetectorParams = field(default_factory=TextDetectorParams)
+    #: "host": exact scipy CC + rotating calipers. "device": on-device CCL +
+    #: segmented rect fitting (page stays in HBM).
+    detection_postprocess: Literal["host", "device"] = "host"
+    #: Maps a resized line width to its padded bucket width. None = the
+    #: lane-aligned TPU ladder; ``recognition.reference_bucket`` gives the
+    #: reference's multiples-of-50 behaviour.
+    recognition_width_bucket: Optional[Callable[[int], int]] = None
+    max_lines_per_batch: int = 20
+
+
+class OcrInput:
+    """A prepared input image (lib.rs:121-126): (1, H, W) float32 in
+    [-0.5, 0.5], resident on device."""
+
+    def __init__(self, image: jax.Array):
+        self.image = image
+
+
+class OcrEngine:
+    """Detects and recognizes text in images (lib.rs:108-301)."""
+
+    def __init__(self, params: OcrEngineParams):
+        self._detector = (
+            TextDetector(
+                params.detection_model,
+                params.detector_params,
+                postprocess=params.detection_postprocess,
+            )
+            if params.detection_model is not None
+            else None
+        )
+        self._recognizer = (
+            TextRecognizer(
+                params.recognition_model,
+                width_bucket=params.recognition_width_bucket,
+                max_lines_per_batch=params.max_lines_per_batch,
+            )
+            if params.recognition_model is not None
+            else None
+        )
+        self._debug = params.debug
+        self._decode_method = params.decode_method
+        self._alphabet = params.alphabet or DEFAULT_ALPHABET
+        # Label i (>=1) maps to alphabet[i-1]; build the excluded-label list
+        # from the allowed set (lib.rs:153-170).
+        self._excluded_char_labels: Optional[list[int]] = None
+        if params.allowed_chars is not None:
+            allowed = set(params.allowed_chars)
+            self._excluded_char_labels = [
+                i + 1 for i, ch in enumerate(self._alphabet) if ch not in allowed
+            ]
+
+    # -- pipeline stages -----------------------------------------------------
+
+    def prepare_input(self, image: ImageSource) -> OcrInput:
+        """Normalize an image for the other engine methods (lib.rs:183-188)."""
+        return OcrInput(prepare_image(image))
+
+    def detect_words(self, input: OcrInput) -> list[RotatedRect]:
+        """Unordered oriented bounding rects of words (lib.rs:190-199)."""
+        if self._detector is None:
+            raise ModelNotLoadedError("Detection model not loaded")
+        return self._detector.detect_words(input.image, debug=self._debug)
+
+    def detect_text_pixels(self, input: OcrInput) -> jax.Array:
+        """(H, W) per-pixel text probability map (lib.rs:201-214)."""
+        if self._detector is None:
+            raise ModelNotLoadedError("Detection model not loaded")
+        return self._detector.detect_text_pixels(input.image, debug=self._debug)
+
+    def find_text_lines(
+        self, input: OcrInput, words: Sequence[RotatedRect]
+    ) -> list[list[RotatedRect]]:
+        """Group words into reading-order lines (lib.rs:216-229)."""
+        del input  # kept for API parity
+        return find_text_lines(words)
+
+    def recognize_text(
+        self, input: OcrInput, lines: Sequence[Sequence[RotatedRect]]
+    ) -> list[Optional[TextLine]]:
+        """Recognize text lines; entries are None when nothing was decoded
+        (lib.rs:231-254)."""
+        if self._recognizer is None:
+            raise ModelNotLoadedError("Recognition model not loaded")
+        return self._recognizer.recognize_text_lines(
+            input.image,
+            lines,
+            RecognitionOpt(
+                debug=self._debug,
+                decode_method=self._decode_method,
+                alphabet=self._alphabet,
+                excluded_char_labels=self._excluded_char_labels,
+            ),
+        )
+
+    def prepare_recognition_input(
+        self, input: OcrInput, line: Sequence[RotatedRect]
+    ) -> np.ndarray:
+        """Debug API exposing recognition preprocessing (lib.rs:256-276)."""
+        if self._recognizer is None:
+            raise ModelNotLoadedError("Recognition model not loaded")
+        return self._recognizer.prepare_input(input.image, line)
+
+    def detection_threshold(self) -> float:
+        """Pixel-probability threshold used by detection (lib.rs:278-286)."""
+        if self._detector is not None:
+            return self._detector.threshold
+        return TextDetectorParams().text_threshold
+
+    def get_text(self, input: OcrInput) -> str:
+        """Full pipeline: all text in the image as one string (lib.rs:288-300)."""
+        words = self.detect_words(input)
+        lines = self.find_text_lines(input, words)
+        recognized = self.recognize_text(input, lines)
+        return "\n".join(str(line) for line in recognized if line is not None)

@@ -1,0 +1,151 @@
+"""Connected-component extraction from binary text masks.
+
+The reference traces external contours on the CPU
+(``rten_imageproc::find_contours(RetrievalMode::External)``,
+ocrs/src/detection.rs:41-62) then simplifies and fits min-area rects. We
+provide two paths:
+
+* :func:`label_components_host` — exact host path using
+  ``scipy.ndimage.label`` (8-connectivity, matching contour-tracing
+  component structure) for the low-latency single-image API.
+* :func:`label_components_device` — on-device iterative min-label propagation
+  (union-find-free CCL) that keeps the mask in HBM; used by the throughput
+  pipeline together with the segmented rect-fitting op in
+  :mod:`ocrs_tpu.ops.rects`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage
+
+_EIGHT_CONN = np.ones((3, 3), dtype=bool)
+
+
+def label_components_host(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-connected component labelling on host. Returns (labels, count) where
+    labels is int32 with 0 = background."""
+    labels, count = ndimage.label(np.asarray(mask, dtype=bool), structure=_EIGHT_CONN)
+    return labels.astype(np.int32), int(count)
+
+
+def component_boundary_points(labels: np.ndarray, count: int) -> list[np.ndarray]:
+    """For each component 1..count, return the (K, 2) [x, y] integer points on
+    its boundary (pixels with a non-member 8-neighbour). Min-area rects of the
+    boundary equal those of the full component, at a fraction of the hull
+    cost (the reference operates on traced contours for the same reason)."""
+    mask = labels > 0
+    interior = ndimage.binary_erosion(mask, structure=_EIGHT_CONN, border_value=0)
+    boundary = mask & ~interior
+    ys, xs = np.nonzero(boundary)
+    lbl = labels[ys, xs]
+    order = np.argsort(lbl, kind="stable")
+    ys, xs, lbl = ys[order], xs[order], lbl[order]
+    splits = np.searchsorted(lbl, np.arange(2, count + 1))
+    out = []
+    for xs_i, ys_i in zip(np.split(xs, splits), np.split(ys, splits)):
+        out.append(np.stack([xs_i, ys_i], axis=1).astype(np.float64))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# On-device labelling: iterative min-label propagation.
+# ---------------------------------------------------------------------------
+
+
+def _propagate_once(labels: jax.Array, mask: jax.Array) -> jax.Array:
+    """One 8-neighbourhood min-propagation step. `labels` holds a large
+    sentinel for background."""
+    big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
+    p = jnp.pad(labels, 1, constant_values=big)
+    neigh = jnp.minimum(
+        jnp.minimum(
+            jnp.minimum(p[:-2, :-2], p[:-2, 1:-1]),
+            jnp.minimum(p[:-2, 2:], p[1:-1, :-2]),
+        ),
+        jnp.minimum(
+            jnp.minimum(p[1:-1, 2:], p[2:, :-2]),
+            jnp.minimum(p[2:, 1:-1], p[2:, 2:]),
+        ),
+    )
+    out = jnp.minimum(labels, neigh)
+    return jnp.where(mask, out, big)
+
+
+def _row_scan_min(labels: jax.Array, mask: jax.Array) -> jax.Array:
+    """Propagate min labels along rows within contiguous runs of mask, both
+    directions. Implemented as an associative scan so a full row propagates
+    in O(log W) steps instead of W."""
+
+    # Segmented min-scan: each element is (label, blocked). A background cell
+    # is a segment boundary (blocked=1); min labels flow only within runs.
+    # The gate sits on the element nearer the scan origin's far side, so the
+    # forward (prefix) and reverse (suffix) scans need mirrored operators.
+    def combine_fwd(a, b):
+        la, ba = a
+        lb, bb = b
+        return jnp.where(bb > 0, lb, jnp.minimum(la, lb)), jnp.maximum(ba, bb)
+
+    def combine_rev(a, b):
+        la, ba = a
+        lb, bb = b
+        return jnp.where(ba > 0, la, jnp.minimum(la, lb)), jnp.maximum(ba, bb)
+
+    big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
+    blocked = (~mask).astype(jnp.int32)
+
+    fwd, _ = jax.lax.associative_scan(combine_fwd, (labels, blocked), axis=1)
+    rev, _ = jax.lax.associative_scan(combine_rev, (labels, blocked), axis=1, reverse=True)
+    out = jnp.minimum(fwd, rev)
+    return jnp.where(mask, out, big)
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def label_components_device(mask: jax.Array, num_iters: int = 24) -> jax.Array:
+    """8-connected CCL on device via min-label propagation.
+
+    Each iteration does one 8-neighbour relaxation followed by a full-row
+    associative-scan sweep, so labels cross an entire horizontal run per
+    iteration. Text components are short and fat, which makes the row sweep
+    the long axis; `num_iters` bounds the number of vertical zig-zags a
+    component may have (24 covers pathological shapes at page scale).
+
+    Returns int32 labels where background = -1 and each component is
+    labelled by the smallest linear index of its pixels.
+    """
+    h, w = mask.shape
+    mask = mask.astype(bool)
+    big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
+    lin = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    labels = jnp.where(mask, lin, big)
+
+    def body(_, lab):
+        lab = _propagate_once(lab, mask)
+        lab = _row_scan_min(lab, mask)
+        return lab
+
+    labels = jax.lax.fori_loop(0, num_iters, body, labels)
+    return jnp.where(mask, labels, -1)
+
+
+def compact_labels_host(labels: np.ndarray) -> tuple[np.ndarray, int]:
+    """Renumber device labels (arbitrary non-negative ids, -1 background)
+    to contiguous 1..count with 0 background."""
+    lab = np.asarray(labels)
+    uniq = np.unique(lab[lab >= 0])
+    out = np.zeros_like(lab, dtype=np.int32)
+    if uniq.size:
+        remap = {int(v): i + 1 for i, v in enumerate(uniq)}
+        flat = lab.ravel()
+        comp = np.zeros(flat.shape, dtype=np.int32)
+        pos = flat >= 0
+        comp[pos] = np.vectorize(remap.__getitem__, otypes=[np.int32])(flat[pos])
+        out = comp.reshape(lab.shape)
+    return out, int(uniq.size)

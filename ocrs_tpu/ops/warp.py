@@ -1,0 +1,125 @@
+"""Batched on-device text-line extraction.
+
+The reference extracts each line on CPU by scanline-filling the line polygon
+into a buffer and bilinear-resizing it (recognition.rs:91-126). Here the page
+stays in HBM and a whole width-bucket batch of lines is extracted in one
+jitted computation:
+
+  * separable bilinear resampling — a row-gather pass (vertical) and a
+    ``take_along_axis`` pass (horizontal), both static-shape;
+  * polygon masking via the line polygon's top/bottom chains: line polygons
+    are x-monotone ribbons (top edge points left-to-right, bottom edge points
+    right-to-left — recognition.rs:29-55), so the even-odd fill reduces to a
+    per-column [ytop(x), ybot(x)] band, evaluated with ``jnp.interp``.
+
+The mask is applied post-resample (the reference masks pre-resize); the
+difference is confined to <1 output pixel of boundary softness, which is why
+the exact host path in :mod:`ocrs_tpu.recognition` remains the oracle for
+tests and the ``prepare_recognition_input`` debug API.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..preprocess import BLACK_VALUE
+
+
+def pad_chain(points: np.ndarray, max_v: int) -> np.ndarray:
+    """Pad an (K, 2) [x, y] chain to (max_v, 2) keeping x strictly
+    increasing (jnp.interp requirement). Also enforces monotone x on the
+    real points (word rects may overlap by a few px)."""
+    pts = np.asarray(points, dtype=np.float64)
+    xs = np.maximum.accumulate(pts[:, 0])
+    # strictly increasing by epsilon where flat
+    for i in range(1, len(xs)):
+        if xs[i] <= xs[i - 1]:
+            xs[i] = xs[i - 1] + 1e-3
+    ys = pts[:, 1]
+    if len(pts) > max_v:
+        # Downsample long chains (rare: >max_v/2 words in one line).
+        idx = np.linspace(0, len(pts) - 1, max_v).round().astype(int)
+        xs, ys = xs[idx], ys[idx]
+    pad = max_v - len(xs)
+    if pad:
+        extra = xs[-1] + 1e-3 * np.arange(1, pad + 1)
+        xs = np.concatenate([xs, extra])
+        ys = np.concatenate([ys, np.full(pad, ys[-1])])
+    return np.stack([xs, ys], axis=1).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_line_batch(
+    page: jax.Array,  # [H, W] normalized greyscale
+    tops: jax.Array,  # [N] f32 line-rect top
+    lefts: jax.Array,  # [N] f32 line-rect left
+    heights: jax.Array,  # [N] f32 line-rect height
+    line_widths: jax.Array,  # [N] f32 line-rect width
+    resized_widths: jax.Array,  # [N] f32 per-line resized width (<= out_w)
+    top_chain: jax.Array,  # [N, V, 2] upper polygon chain (x, y)
+    bot_chain: jax.Array,  # [N, V, 2] lower polygon chain (x, y)
+    *,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """Extract, mask and resize a batch of line regions -> [N, 1, out_h, out_w].
+
+    Output column x of line n samples page position
+    ``left + (x + 0.5) * line_width / resized_width - 0.5`` (half-pixel
+    bilinear, matching the reference's buffer-resize), rows likewise; columns
+    beyond ``resized_width`` are BLACK padding (recognition.rs:135-158).
+    """
+    ph, pw = page.shape
+    n = tops.shape[0]
+
+    # --- sample coordinates -------------------------------------------------
+    ys = jnp.arange(out_h, dtype=jnp.float32)  # [out_h]
+    xs = jnp.arange(out_w, dtype=jnp.float32)  # [out_w]
+
+    sy = (ys[None, :] + 0.5) * (heights[:, None] / out_h) - 0.5  # [N, out_h]
+    sy = jnp.clip(sy, 0.0, jnp.maximum(heights[:, None] - 1.0, 0.0))
+    in_y = tops[:, None] + sy  # [N, out_h] float page rows
+
+    sx = (xs[None, :] + 0.5) * (line_widths[:, None] / jnp.maximum(resized_widths[:, None], 1.0)) - 0.5
+    sx = jnp.clip(sx, 0.0, jnp.maximum(line_widths[:, None] - 1.0, 0.0))
+    in_x = lefts[:, None] + sx  # [N, out_w] float page cols
+
+    # --- vertical pass: gather two page rows per output row -----------------
+    y0 = jnp.floor(in_y)
+    wy = (in_y - y0)[..., None]  # [N, out_h, 1]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, ph - 1)
+    y1i = jnp.clip(y0i + 1, 0, ph - 1)
+    rows0 = page[y0i]  # [N, out_h, pw]
+    rows1 = page[y1i]
+    vert = rows0 * (1.0 - wy) + rows1 * wy  # [N, out_h, pw]
+
+    # --- horizontal pass: two gathers along the row --------------------------
+    x0 = jnp.floor(in_x)
+    wx = in_x - x0  # [N, out_w]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, pw - 1)
+    x1i = jnp.clip(x0i + 1, 0, pw - 1)
+    g0 = jnp.take_along_axis(vert, x0i[:, None, :].repeat(out_h, axis=1), axis=2)
+    g1 = jnp.take_along_axis(vert, x1i[:, None, :].repeat(out_h, axis=1), axis=2)
+    samples = g0 * (1.0 - wx[:, None, :]) + g1 * wx[:, None, :]  # [N, out_h, out_w]
+
+    # --- polygon band mask ----------------------------------------------------
+    ytop = jax.vmap(jnp.interp)(in_x, top_chain[..., 0], top_chain[..., 1])  # [N, out_w]
+    ybot = jax.vmap(jnp.interp)(in_x, bot_chain[..., 0], bot_chain[..., 1])
+    band = (in_y[:, :, None] >= ytop[:, None, :] - 0.5) & (
+        in_y[:, :, None] <= ybot[:, None, :] + 0.5
+    )
+    in_page = (
+        (in_y[:, :, None] >= 0.0)
+        & (in_y[:, :, None] <= ph - 1.0)
+        & (in_x[:, None, :] >= 0.0)
+        & (in_x[:, None, :] <= pw - 1.0)
+    )
+    valid_col = xs[None, None, :] < resized_widths[:, None, None]
+    mask = band & in_page & valid_col
+
+    out = jnp.where(mask, samples, BLACK_VALUE)
+    return out[:, None, :, :]

@@ -1,0 +1,498 @@
+"""Text recognition: batched line extraction, CRNN forward, CTC decoding.
+
+Pipeline parity with the reference TextRecognizer
+(/root/reference/ocrs/src/recognition.rs:404-561):
+
+  * per line: build the line polygon from word rects (top edges left-to-right,
+    bottom edges right-to-left — recognition.rs:29-55), compute the resized
+    width ``clamp(height * aspect, 10, 2400)`` (recognition.rs:58-75);
+  * bucket lines by resized width and split buckets into batches
+    (recognition.rs:430-459) — the default bucket law here is TPU-friendly
+    (pad to a short ladder of lane-aligned widths) with the reference's
+    ``next_multiple_of(50)`` available for strict-compat runs; both only
+    affect padding, never decoded text;
+  * extract + resize + mask every line of a batch on device in one jitted op
+    (:func:`ocrs_tpu.ops.warp.extract_line_batch`) instead of the reference's
+    per-line CPU polygon fill;
+  * run the recognition model (``[N,1,H,W] -> [seq,N,classes]`` log-probs,
+    transposed to batch-major — recognition.rs:357-358);
+  * mask excluded characters to -inf (recognition.rs:547-561) and CTC-decode
+    (greedy argmax on device + tiny host collapse, or host beam search);
+  * map decoded steps back to per-character image rects through the CTC
+    downsample factor and the width scale (recognition.rs:241-311).
+
+Where the reference runs width buckets in parallel on a rayon pool
+(recognition.rs:464-467), here batches issue back-to-back to the TPU stream —
+device-side batching replaces host thread parallelism.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import WrongOutputError
+from .geometry import (
+    Line,
+    Rect,
+    RotatedRect,
+    bounding_rect,
+    leftmost_edge,
+    rightmost_edge,
+)
+from .models.protocol import Model, fixed_height_or
+from .ops.ctc import CtcStep, beam_decode, collapse_greedy, greedy_labels, mask_excluded
+from .ops.resize import _interp_matrix
+from .ops.warp import extract_line_batch, pad_chain
+from .preprocess import BLACK_VALUE
+
+# ---------------------------------------------------------------------------
+# Decode method (recognition.rs:198-205)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Greedy:
+    pass
+
+
+@dataclass(frozen=True)
+class BeamSearch:
+    width: int = 100
+
+
+DecodeMethod = Union[Greedy, BeamSearch]
+
+
+@dataclass
+class RecognitionOpt:
+    """Options for ``recognize_text_lines`` (recognition.rs:206-215)."""
+
+    debug: bool = False
+    decode_method: DecodeMethod = field(default_factory=Greedy)
+    alphabet: str = ""
+    excluded_char_labels: Optional[Sequence[int]] = None
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers
+# ---------------------------------------------------------------------------
+
+MIN_LINE_WIDTH = 10.0
+#: Cap on resized line width; ~150 chars of text (recognition.rs:58-75).
+MAX_LINE_WIDTH = 2400.0
+
+
+def resized_line_width(orig_width: float, orig_height: float, height: int) -> int:
+    """Width to resize a line image to for a given target height
+    (recognition.rs:58-75)."""
+    aspect = float(orig_width) / float(orig_height)
+    return int(np.clip(height * aspect, MIN_LINE_WIDTH, MAX_LINE_WIDTH))
+
+
+def line_polygon(words: Sequence[RotatedRect]) -> np.ndarray:
+    """Closed polygon that tightly follows a line's word rects: top-edge
+    endpoints left-to-right, then bottom-edge endpoints right-to-left, floored
+    to integers (recognition.rs:29-55). Returns (4 * len(words), 2) int [x, y]."""
+    top: list[tuple[int, int]] = []
+    bottom: list[tuple[int, int]] = []
+    for rect in words:
+        left = leftmost_edge(rect).downwards()
+        right = rightmost_edge(rect).downwards()
+        top.append((math.floor(left.start[0]), math.floor(left.start[1])))
+        top.append((math.floor(right.start[0]), math.floor(right.start[1])))
+        bottom.append((math.floor(right.end[0]), math.floor(right.end[1])))
+        bottom.append((math.floor(left.end[0]), math.floor(left.end[1])))
+    # Bottom edge points are appended right-to-left: the per-word loop above
+    # pushed (right, left) pairs in word order, so reversing the whole word
+    # sequence while keeping (right, left) order per word is just iterating
+    # words in reverse — equivalently, reverse the flat list pairwise.
+    bottom_r_to_l: list[tuple[int, int]] = []
+    for k in range(len(words) - 1, -1, -1):
+        bottom_r_to_l.append(bottom[2 * k])
+        bottom_r_to_l.append(bottom[2 * k + 1])
+    return np.array(top + bottom_r_to_l, dtype=np.int64)
+
+
+def polygon_slice_bounding_rect(
+    poly: np.ndarray, min_x: float, max_x: float
+) -> Optional[Rect]:
+    """Bounding rect of the polygon slice with x in [min_x, max_x]
+    (recognition.rs:162-193)."""
+    n = len(poly)
+    out: Optional[Rect] = None
+    for i in range(n):
+        e = Line.from_endpoints(poly[i], poly[(i + 1) % n]).rightwards()
+        if (e.start[0] < min_x and e.end[0] < min_x) or (
+            e.start[0] > max_x and e.end[0] > max_x
+        ):
+            continue
+        y_min = e.y_for_x(float(min_x))
+        start = (min_x, round(y_min)) if y_min is not None else (e.start[0], e.start[1])
+        y_max = e.y_for_x(float(max_x))
+        end = (max_x, round(y_max)) if y_max is not None else (e.end[0], e.end[1])
+        edge_br = Line.from_endpoints(start, end).bounding_rect()
+        out = edge_br if out is None else out.union(edge_br)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Width buckets
+# ---------------------------------------------------------------------------
+
+
+def reference_bucket(width: int) -> int:
+    """The reference's bucket law: next multiple of 50 (recognition.rs:437)."""
+    return ((width + 49) // 50) * 50
+
+
+#: TPU default: a short ladder of lane-aligned (128x) widths so recognition
+#: compiles a handful of programs instead of 48. Extra padding is BLACK and
+#: decoded characters falling in it are clipped (recognition.rs:271-276), so
+#: this changes compute shape, not results.
+TPU_WIDTH_LADDER: tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048, 2432)
+
+
+def ladder_bucket(ladder: Sequence[int]) -> Callable[[int], int]:
+    lad = sorted(ladder)
+
+    def bucket(width: int) -> int:
+        for w in lad:
+            if width <= w:
+                return w
+        return lad[-1]
+
+    return bucket
+
+
+def _pad_batch_size(n: int, cap: int) -> int:
+    """Round a batch size up to a power of two (capped) so XLA compiles a
+    handful of batch shapes rather than one per line count."""
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, max(cap, n))
+
+
+# ---------------------------------------------------------------------------
+# Host-exact line preparation (debug API + test oracle)
+# ---------------------------------------------------------------------------
+
+
+def _fill_polygon_mask(poly: np.ndarray, rect: Rect, page_hw: tuple[int, int]) -> np.ndarray:
+    """Even-odd scanline fill of `poly` restricted to `rect`, like
+    ``Polygon::fill_iter`` (recognition.rs:110). Returns a bool mask of shape
+    (rect.height, rect.width) marking pixels to copy from the page."""
+    t, l = int(rect.top), int(rect.left)
+    h, w = int(rect.height), int(rect.width)
+    mask = np.zeros((h, w), dtype=bool)
+    xs_edge = poly[:, 0].astype(np.float64)
+    ys_edge = poly[:, 1].astype(np.float64)
+    x2 = np.roll(xs_edge, -1)
+    y2 = np.roll(ys_edge, -1)
+    for row in range(h):
+        y = t + row
+        crosses = ((ys_edge <= y) & (y2 > y)) | ((y2 <= y) & (ys_edge > y))
+        if not crosses.any():
+            continue
+        xi = xs_edge[crosses] + (y - ys_edge[crosses]) * (
+            (x2[crosses] - xs_edge[crosses]) / (y2[crosses] - ys_edge[crosses])
+        )
+        xi = np.sort(xi)
+        for a, b in zip(xi[::2], xi[1::2]):
+            x0 = max(int(math.ceil(a)), l)
+            x1 = min(int(math.floor(b)), l + w - 1)
+            if x1 >= x0:
+                mask[row, x0 - l : x1 - l + 1] = True
+    # Page clipping (recognition.rs:111-116): both the source point and the
+    # buffer-local point must lie within the page's index rect.
+    ph, pw = page_hw
+    ys_idx = t + np.arange(h)
+    xs_idx = l + np.arange(w)
+    in_page = ((ys_idx >= 0) & (ys_idx <= ph - 1))[:, None] & (
+        (xs_idx >= 0) & (xs_idx <= pw - 1)
+    )[None, :]
+    local_ok = ((np.arange(h) <= ph - 1))[:, None] & ((np.arange(w) <= pw - 1))[None, :]
+    return mask & in_page & local_ok
+
+
+def prepare_text_line_host(
+    image: np.ndarray,
+    poly: np.ndarray,
+    resized_width: int,
+    output_height: int,
+) -> np.ndarray:
+    """Exact host equivalent of the reference's ``prepare_text_line``
+    (recognition.rs:91-126): polygon fill into a BLACK buffer, then bilinear
+    resize to (output_height, resized_width)."""
+    page = np.asarray(image)
+    if page.ndim == 3:
+        page = page[0]
+    ph, pw = page.shape
+    rect = Rect.from_tlbr(
+        float(poly[:, 1].min()),
+        float(poly[:, 0].min()),
+        float(poly[:, 1].max()),
+        float(poly[:, 0].max()),
+    )
+    t, l = int(rect.top), int(rect.left)
+    h, w = int(rect.height), int(rect.width)
+    buf = np.full((max(h, 1), max(w, 1)), BLACK_VALUE, dtype=np.float32)
+    if h > 0 and w > 0:
+        mask = _fill_polygon_mask(poly, rect, (ph, pw))
+        ys = np.clip(t + np.arange(h), 0, ph - 1)
+        xs = np.clip(l + np.arange(w), 0, pw - 1)
+        src = page[np.ix_(ys, xs)]
+        buf = np.where(mask, src, BLACK_VALUE).astype(np.float32)
+    ry = _interp_matrix(buf.shape[0], output_height)
+    rx = _interp_matrix(buf.shape[1], int(resized_width))
+    return (ry @ buf @ rx.T).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# TextRecognizer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _RecLine:
+    """Internal per-line record (recognition.rs:183-196 ``TextRecLine``)."""
+
+    index: int
+    poly: np.ndarray  # (V, 2) int polygon
+    rect: Rect  # integral bounding rect of the polygon
+    resized_width: int
+
+
+@dataclass
+class _LineResult:
+    line: _RecLine
+    rec_input_len: int
+    ctc_input_len: int
+    steps: list[CtcStep]
+
+
+#: Maximum vertices per padded polygon chain on device (= max words per line
+#: times 2; longer chains are downsampled in pad_chain).
+MAX_CHAIN_V = 64
+
+
+class TextRecognizer:
+    """Extracts character sequences and boxes from detected text lines."""
+
+    def __init__(
+        self,
+        model: Model,
+        width_bucket: Optional[Callable[[int], int]] = None,
+        max_lines_per_batch: int = 20,
+    ):
+        self._model = model
+        self._input_shape = model.input_shape()
+        self._input_height = fixed_height_or(self._input_shape, default=50)
+        self._bucket = width_bucket or ladder_bucket(TPU_WIDTH_LADDER)
+        self._max_lines = max_lines_per_batch
+
+    @property
+    def input_height(self) -> int:
+        return self._input_height
+
+    def run(self, batch: jax.Array) -> jax.Array:
+        """[N, 1, H, W] -> [N, seq, classes] log-probabilities
+        (recognition.rs:340-360)."""
+        out = self._model.run(batch)
+        if out.ndim != 3:
+            raise WrongOutputError(
+                f"expected recognition output to have 3 dims but it has {out.ndim}"
+            )
+        return jnp.transpose(out, (1, 0, 2))
+
+    # -- debugging API (recognition.rs:366-392) -----------------------------
+    def prepare_input(self, image: jax.Array, line: Sequence[RotatedRect]) -> np.ndarray:
+        """Host-exact preprocessing of one line, for debugging
+        (recognition.rs:366-392). Returns (H, W) float32."""
+        rect = self._line_rect(line)
+        poly = line_polygon(line)
+        width = resized_line_width(rect.width, rect.height, self._input_height)
+        return prepare_text_line_host(np.asarray(image), poly, width, self._input_height)
+
+    @staticmethod
+    def _line_rect(line: Sequence[RotatedRect]) -> Rect:
+        br = bounding_rect(r.bounding_rect() for r in line)
+        assert br is not None, "line has no words"
+        return br.integral_bounding_rect()
+
+    # -- main entry (recognition.rs:404-541) ---------------------------------
+    def recognize_text_lines(
+        self,
+        image: jax.Array,
+        lines: Sequence[Sequence[RotatedRect]],
+        opts: RecognitionOpt,
+    ):
+        from .text_items import TextLine  # local import to avoid cycle
+
+        if image.ndim != 3 or image.shape[0] != 1:
+            raise ValueError(f"expected (1, H, W) image, got {image.shape}")
+        page = image[0]
+
+        rec_lines: list[_RecLine] = []
+        for index, words in enumerate(lines):
+            poly = line_polygon(words)
+            rect = Rect.from_tlbr(
+                float(poly[:, 1].min()),
+                float(poly[:, 0].min()),
+                float(poly[:, 1].max()),
+                float(poly[:, 0].max()),
+            )
+            lr = self._line_rect(words)
+            rec_lines.append(
+                _RecLine(
+                    index=index,
+                    poly=poly,
+                    rect=lr,
+                    resized_width=resized_line_width(
+                        lr.width, lr.height, self._input_height
+                    ),
+                )
+            )
+
+        # Bucket by padded width, then chunk into batches.
+        groups: dict[int, list[_RecLine]] = {}
+        for rl in rec_lines:
+            groups.setdefault(self._bucket(rl.resized_width), []).append(rl)
+        batches: list[tuple[int, list[_RecLine]]] = []
+        for width, group in groups.items():
+            for i in range(0, len(group), self._max_lines):
+                batches.append((width, group[i : i + self._max_lines]))
+
+        alphabet_len = len(opts.alphabet)
+        excluded = (
+            np.array(sorted(set(opts.excluded_char_labels)), dtype=np.int64)
+            if opts.excluded_char_labels
+            else None
+        )
+
+        results: list[_LineResult] = []
+        for group_width, batch in batches:
+            if opts.debug:
+                print(f"Processing group of {len(batch)} lines of width {group_width}")
+            logprobs = self._run_batch(page, batch, group_width)  # [N, T, C]
+            n_classes = logprobs.shape[-1]
+            if alphabet_len + 1 != n_classes:
+                raise WrongOutputError(
+                    f"output column count ({n_classes}) does not match "
+                    f"alphabet size ({alphabet_len + 1})"
+                )
+            ctc_input_len = int(logprobs.shape[1])
+
+            if excluded is not None:
+                onehot = np.zeros((n_classes,), dtype=bool)
+                onehot[excluded[excluded < n_classes]] = True
+                logprobs = mask_excluded(logprobs, jnp.asarray(onehot))
+
+            if isinstance(opts.decode_method, Greedy):
+                labels = np.asarray(greedy_labels(logprobs))  # [N, T]
+                decoded = [collapse_greedy(labels[i]) for i in range(len(batch))]
+            else:
+                lp_host = np.asarray(logprobs)
+                decoded = [
+                    beam_decode(lp_host[i], opts.decode_method.width)
+                    for i in range(len(batch))
+                ]
+
+            for rl, steps in zip(batch, decoded):
+                results.append(
+                    _LineResult(
+                        line=rl,
+                        rec_input_len=group_width,
+                        ctc_input_len=ctc_input_len,
+                        steps=steps,
+                    )
+                )
+
+        results.sort(key=lambda r: r.line.index)
+        return _text_lines_from_results(results, opts.alphabet)
+
+    # -- device batch extraction + model -------------------------------------
+    def _run_batch(
+        self, page: jax.Array, batch: list[_RecLine], group_width: int
+    ) -> jax.Array:
+        n = len(batch)
+        n_pad = _pad_batch_size(n, self._max_lines)
+
+        def rows(get):
+            vals = [get(rl) for rl in batch]
+            vals += [vals[-1]] * (n_pad - n)
+            return np.asarray(vals, dtype=np.float32)
+
+        tops = rows(lambda rl: rl.rect.top)
+        lefts = rows(lambda rl: rl.rect.left)
+        heights = rows(lambda rl: rl.rect.height)
+        widths = rows(lambda rl: rl.rect.width)
+        rwidths = rows(lambda rl: rl.resized_width)
+
+        v = MAX_CHAIN_V
+        half = lambda rl: len(rl.poly) // 2
+        top_chain = np.stack(
+            [pad_chain(rl.poly[: half(rl)], v) for rl in batch]
+            + [pad_chain(batch[-1].poly[: half(batch[-1])], v)] * (n_pad - n)
+        )
+        bot_chain = np.stack(
+            [pad_chain(rl.poly[half(rl) :][::-1], v) for rl in batch]
+            + [pad_chain(batch[-1].poly[half(batch[-1]) :][::-1], v)] * (n_pad - n)
+        )
+
+        crops = extract_line_batch(
+            page,
+            jnp.asarray(tops),
+            jnp.asarray(lefts),
+            jnp.asarray(heights),
+            jnp.asarray(widths),
+            jnp.asarray(rwidths),
+            jnp.asarray(top_chain),
+            jnp.asarray(bot_chain),
+            out_h=self._input_height,
+            out_w=group_width,
+        )
+        logprobs = self.run(crops)  # [n_pad, T, C]
+        return logprobs[:n]
+
+
+def _text_lines_from_results(results: list[_LineResult], alphabet: str):
+    """Build TextLines with per-char rects from decode results
+    (recognition.rs:241-311)."""
+    from .text_items import TextChar, TextLine
+
+    out = []
+    for result in results:
+        line_rect = result.line.rect
+        x_scale = float(line_rect.width) / float(result.line.resized_width)
+        downsample = round(result.rec_input_len / result.ctc_input_len)
+
+        chars: list[TextChar] = []
+        steps = result.steps
+        for i, step in enumerate(steps):
+            start_x = step.pos * downsample
+            end_x = (
+                steps[i + 1].pos * downsample
+                if i + 1 < len(steps)
+                else result.line.resized_width
+            )
+            start_x = int(line_rect.left + start_x * x_scale)
+            end_x = int(line_rect.left + end_x * x_scale)
+            # Characters predicted in the padding region are dropped
+            # (recognition.rs:271-276).
+            if start_x >= line_rect.right:
+                continue
+            label_idx = step.label - 1
+            ch = alphabet[label_idx] if 0 <= label_idx < len(alphabet) else "?"
+            rect = polygon_slice_bounding_rect(result.line.poly, start_x, end_x)
+            assert rect is not None, "invalid X coords"
+            chars.append(TextChar(char=ch, rect=rect))
+
+        out.append(TextLine(chars) if chars else None)
+    return out

@@ -1,0 +1,138 @@
+"""Engine-level tests with fake models (mirrors ocrs/src/lib.rs:330-577)."""
+
+import numpy as np
+import pytest
+
+from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
+from ocrs_tpu.errors import ModelNotLoadedError
+from ocrs_tpu.geometry import Rect, RotatedRect
+from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+from ocrs_tpu.preprocess import DimOrder, ImageSource
+from ocrs_tpu.testing import fill_rect
+
+
+def gen_test_image(n_words: int) -> np.ndarray:
+    """Black RGB CHW image with one line of `n_words` white rects
+    (lib.rs:339-362)."""
+    image = np.zeros((3, 100, 200), dtype=np.float32)
+    for word_idx in range(n_words):
+        for chan in range(3):
+            fill_rect(image[chan], Rect.from_tlhw(30, word_idx * 70, 20, 50), 1.0)
+    return image
+
+
+def make_alphabet() -> str:
+    return DEFAULT_ALPHABET[:63]
+
+
+def test_prepare_input_shape():
+    image = gen_test_image(3)
+    engine = OcrEngine(OcrEngineParams(detection_model=FakeDetectionModel()))
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    assert inp.image.shape == (1, 100, 200)
+
+
+def test_detect_words():
+    n_words = 3
+    image = gen_test_image(n_words)
+    engine = OcrEngine(OcrEngineParams(detection_model=FakeDetectionModel()))
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    words = engine.detect_words(inp)
+    assert len(words) == n_words
+
+    boxes = sorted(
+        (w.bounding_rect() for w in words), key=lambda b: (int(b.top), int(b.left))
+    )
+    # Expected boxes from lib.rs:429-461: the detected rects are slightly
+    # larger than the input rects due to the 3px expansion.
+    expected = [
+        Rect.from_tlhw(27, -3, 25, 56),
+        Rect.from_tlhw(27, 66, 25, 57),
+        Rect.from_tlhw(27, 136, 25, 57),
+    ]
+    for got, want in zip(boxes, expected):
+        assert abs(got.top - want.top) <= 1, (got, want)
+        assert abs(got.left - want.left) <= 1, (got, want)
+        assert abs(got.height - want.height) <= 1.5, (got, want)
+        assert abs(got.width - want.width) <= 1.5, (got, want)
+
+
+def _run_recognition(engine: OcrEngine, image: np.ndarray) -> list:
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    h, w = image.shape[1], image.shape[2]
+    line = [RotatedRect.from_rect(Rect.from_tlhw(0, 0, h, w))]
+    return engine.recognize_text(inp, [line])
+
+
+def test_recognize_single_char():
+    # Filling input row k makes the fake model emit alphabet[k-1]
+    # (lib.rs:490-544): row 2 -> '0'.
+    image = np.zeros((1, 64, 32), dtype=np.float32)
+    image[:, 2, :] = 1.0
+    engine = OcrEngine(
+        OcrEngineParams(
+            recognition_model=FakeRecognitionModel(), alphabet=make_alphabet()
+        )
+    )
+    lines = _run_recognition(engine, image)
+    assert len(lines) == 1
+    assert lines[0] is not None
+    assert str(lines[0]) == "0"
+
+
+def test_recognize_filter_chars():
+    # lib.rs:546-577: with "0" at p=0.7 and "1" at p=0.3, the argmax is "0";
+    # excluding "0" via allowed_chars yields "1".
+    image = np.zeros((1, 64, 32), dtype=np.float32)
+    image[:, 2, :] = 0.7
+    image[:, 3, :] = 0.3
+
+    engine = OcrEngine(
+        OcrEngineParams(
+            recognition_model=FakeRecognitionModel(), alphabet=make_alphabet()
+        )
+    )
+    assert str(_run_recognition(engine, image)[0]) == "0"
+
+    engine = OcrEngine(
+        OcrEngineParams(
+            recognition_model=FakeRecognitionModel(),
+            alphabet=make_alphabet(),
+            allowed_chars="123456789",
+        )
+    )
+    assert str(_run_recognition(engine, image)[0]) == "1"
+
+
+def test_get_text_end_to_end_with_fakes():
+    image = gen_test_image(2)
+    engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=make_alphabet(),
+        )
+    )
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    text = engine.get_text(inp)
+    assert isinstance(text, str)
+
+
+def test_models_not_loaded():
+    engine = OcrEngine(OcrEngineParams())
+    image = gen_test_image(1)
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    with pytest.raises(ModelNotLoadedError):
+        engine.detect_words(inp)
+    with pytest.raises(ModelNotLoadedError):
+        engine.detect_text_pixels(inp)
+    with pytest.raises(ModelNotLoadedError):
+        engine.recognize_text(inp, [])
+    assert engine.detection_threshold() == pytest.approx(0.2)
+
+
+def test_default_alphabet_length():
+    # 1 space + 10 digits + 32 punctuation + euro + 52 letters = 96 chars.
+    assert len(DEFAULT_ALPHABET) == 96
+    assert DEFAULT_ALPHABET[0] == " "
+    assert "€" in DEFAULT_ALPHABET

@@ -1,0 +1,115 @@
+import random
+
+import numpy as np
+
+from ocrs_tpu.geometry import Rect, RotatedRect
+from ocrs_tpu.layout import (
+    filter_overlapping,
+    find_block_separators,
+    find_text_lines,
+    group_into_lines,
+    max_empty_rects,
+)
+from ocrs_tpu.testing import gen_rect_grid, union_rects
+
+
+def test_max_empty_rects_finds_column_gap():
+    # Mirrors empty_rects.rs:238-294: two columns of word-like obstacles;
+    # the best empty rect is exactly the inter-column gap.
+    page = Rect.from_tlbr(0, 0, 80, 90)
+    left_col = gen_rect_grid((0, 0), (10, 5), (5, 5), (3, 2))
+    left_boundary = union_rects(left_col)
+    assert page.contains(left_boundary)
+    right_col = gen_rect_grid((0, left_boundary.right + 20), (10, 5), (5, 5), (3, 2))
+    right_boundary = union_rects(right_col)
+    assert page.contains(right_boundary)
+
+    obstacles = left_col + right_col
+    best = next(max_empty_rects(obstacles, page, lambda r: r.area, 0, 0))
+    assert best == Rect.from_tlbr(
+        page.top, left_boundary.right, page.bottom, right_boundary.left
+    )
+
+
+def test_max_empty_rects_none_cases():
+    boundary = Rect.from_tlbr(0, 0, 5, 5)
+    assert next(max_empty_rects([boundary], boundary, lambda r: r.area, 0, 0), None) is None
+    empty = Rect.from_hw(0, 0)
+    assert next(max_empty_rects([], empty, lambda r: r.area, 0, 0), None) is None
+
+
+def test_filter_overlapping():
+    rects = [
+        Rect.from_tlbr(0, 0, 10, 10),
+        Rect.from_tlbr(0, 1, 10, 11),  # high IoU with first
+        Rect.from_tlbr(20, 20, 30, 30),
+    ]
+    out = list(filter_overlapping(iter(rects), 0.5))
+    assert out == [rects[0], rects[2]]
+
+
+def test_find_block_separators_overlapping_words():
+    # Mirrors layout_analysis.rs:242-291: 2 lines x 2 words with negative
+    # word gap -> 2 separators.
+    words = [
+        RotatedRect.from_rect(r)
+        for r in gen_rect_grid((0, 0), (2, 2), (10, 20), (50, -5))
+    ]
+    separators = find_block_separators(words)
+    assert len(separators) == 2
+
+
+def test_group_into_lines_orders_left_to_right():
+    rects = [
+        RotatedRect.from_rect(Rect.from_tlhw(0, x, 10, 20)) for x in (50, 0, 100)
+    ]
+    lines = group_into_lines(rects)
+    assert len(lines) == 1
+    xs = [r.bounding_rect().left for r in lines[0]]
+    assert xs == sorted(xs)
+
+
+def test_group_into_lines_respects_separators():
+    from ocrs_tpu.geometry import Line, point
+
+    rects = [
+        RotatedRect.from_rect(Rect.from_tlhw(0, 0, 10, 20)),
+        RotatedRect.from_rect(Rect.from_tlhw(0, 40, 10, 20)),
+    ]
+    sep = Line(point(32, -5), point(32, 15))
+    lines = group_into_lines(rects, [sep])
+    assert len(lines) == 2
+
+
+def test_find_text_lines_two_columns():
+    # Mirrors layout_analysis.rs:293-350: shuffled two-column layout should
+    # produce 2*rows lines of col_words words each.
+    page = Rect.from_tlbr(0, 0, 80, 90)
+    col_rows, col_words = 10, 5
+    line_gap, word_gap = 3, 2
+    word_h, word_w = 5, 5
+
+    left_col = gen_rect_grid((0, 0), (col_rows, col_words), (word_h, word_w), (line_gap, word_gap))
+    left_boundary = union_rects(left_col)
+    assert page.contains(left_boundary)
+    right_col = gen_rect_grid(
+        (0, left_boundary.right + 20), (col_rows, col_words), (word_h, word_w), (line_gap, word_gap)
+    )
+    assert page.contains(union_rects(right_col))
+
+    words = [RotatedRect.from_rect(r) for r in left_col + right_col]
+    rng = random.Random(1234)
+    rng.shuffle(words)
+
+    lines = find_text_lines(words)
+    assert len(lines) == col_rows * 2
+    for line in lines:
+        assert len(line) == col_words
+        br = union_rects([r.bounding_rect() for r in line])
+        assert abs(br.height - word_h) <= 1
+        expected_width = col_words * (word_w + word_gap) - word_gap
+        assert abs(br.width - expected_width) <= 1
+
+
+def test_find_text_lines_empty():
+    assert find_text_lines([]) == []
