@@ -1,0 +1,150 @@
+"""End-to-end OCR throughput benchmark.
+
+Measures pages/sec for the full pipeline on synthetic 300-dpi A4 pages
+(2480 x 3508): normalize -> detection U-Net -> on-device connected components
++ rect fitting -> layout analysis -> batched line extraction -> CRNN
+recognition -> CTC decode -> text assembly.
+
+Models are the real architectures with randomly-initialized weights — the
+compute/memory cost is identical to trained weights. Because untrained
+detection produces a degenerate mask, the detection model output is blended
+with a deterministic oracle word-grid mask (an elementwise op that depends on
+the model output, so the full forward pass stays in the measured graph); this
+keeps the post-processing and recognition load realistic (~N_LINES lines of
+N_WORDS words per page).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50 (the BASELINE.json target of 50 pages/sec/chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAGE_H, PAGE_W = 3508, 2480  # A4 @ 300 dpi
+N_LINES = 40
+N_WORDS = 8
+TARGET_PAGES_PER_SEC = 50.0
+N_WARMUP = 2
+N_PAGES = 10
+
+
+def make_page_and_layout(seed: int):
+    """A synthetic page: dark word blobs on white, plus the word-grid layout
+    (in page coordinates) used to build the oracle mask."""
+    rng = np.random.default_rng(seed)
+    page = np.full((PAGE_H, PAGE_W), 245, dtype=np.uint8)
+    boxes = []
+    margin_x, margin_y = 200, 250
+    line_pitch = (PAGE_H - 2 * margin_y) // N_LINES
+    word_h = 44
+    for li in range(N_LINES):
+        y = margin_y + li * line_pitch
+        x = margin_x
+        for wi in range(N_WORDS):
+            w = int(rng.integers(120, 260))
+            if x + w > PAGE_W - margin_x:
+                break
+            page[y : y + word_h, x : x + w] = rng.integers(10, 60)
+            boxes.append((y, x, word_h, w))
+            x += w + 36
+    return page, boxes
+
+
+def make_oracle_mask(boxes, model_hw, crop_hw, page_hw):
+    """Rasterize the word grid into model-input resolution (the coordinates
+    the detection output lives in before the unpad/resize-back step)."""
+    mh, mw = model_hw
+    ch, cw = crop_hw
+    ph, pw = page_hw
+    mask = np.zeros((mh, mw), dtype=bool)
+    sy, sx = ch / ph, cw / pw
+    for (y, x, h, w) in boxes:
+        y0, y1 = int(y * sy), int(np.ceil((y + h) * sy))
+        x0, x1 = int(x * sx), int(np.ceil((x + w) * sx))
+        # shrink 1px to keep words separable at model res
+        mask[y0 + 1 : max(y1 - 1, y0 + 2), x0 + 1 : max(x1 - 1, x0 + 2)] = True
+    return mask
+
+
+class OracleBlendDetectionModel:
+    """Wraps the real detection model; blends its output toward an oracle
+    mask with an elementwise op so the full U-Net stays in the graph."""
+
+    def __init__(self, inner, oracle_mask: np.ndarray):
+        self._inner = inner
+        self._oracle = jnp.asarray(oracle_mask)
+
+    def input_shape(self):
+        return self._inner.input_shape()
+
+    def run(self, x):
+        p = self._inner.run(x)
+        o = self._oracle[None, None, :, :]
+        return jnp.where(o, jnp.maximum(p, 0.9), jnp.minimum(p, 0.05))
+
+
+PAGE_BATCH = 16
+N_BATCHES = 3
+
+
+def main() -> None:
+    import sys
+
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.detection_net import DetectionModel
+    from ocrs_tpu.models.recognition_net import RecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    det_inner = DetectionModel.create(0)
+    mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
+    # Page larger than model input in both dims -> no padding, crop == model.
+    page, boxes = make_page_and_layout(0)
+    oracle = make_oracle_mask(boxes, (mh, mw), (mh, mw), (PAGE_H, PAGE_W))
+    det_oracle = OracleBlendDetectionModel(
+        DetectionModel(det_inner.params, (mh, mw)), oracle
+    )
+    rec = RecognitionModel.create(0)
+
+    pipeline = PagePipeline(
+        detection_model=det_oracle,
+        recognition_model=rec,
+        alphabet=DEFAULT_ALPHABET,
+        max_lines_per_batch=64,
+    )
+
+    pages = np.stack([make_page_and_layout(s)[0] for s in range(PAGE_BATCH)])
+
+    # Warmup (compilation)
+    results = pipeline.process(pages)
+    n_lines_out = len(results[0].text.splitlines())
+
+    t0 = time.perf_counter()
+    for _ in range(N_BATCHES):
+        pipeline.process(pages)
+    elapsed = time.perf_counter() - t0
+
+    total_pages = N_BATCHES * PAGE_BATCH
+    pages_per_sec = total_pages / elapsed
+    result = {
+        "metric": "pages_per_sec_per_chip_e2e_300dpi",
+        "value": round(pages_per_sec, 3),
+        "unit": "pages/s",
+        "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {total_pages} pages ({N_BATCHES} batches of {PAGE_BATCH}) in "
+        f"{elapsed:.2f}s; {n_lines_out} lines/page decoded; "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

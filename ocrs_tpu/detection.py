@@ -88,11 +88,21 @@ class TextDetector:
         model: Model,
         params: TextDetectorParams = TextDetectorParams(),
         postprocess: Literal["host", "device"] = "host",
+        postprocess_resolution: Literal["page", "model"] = "page",
     ):
+        """`postprocess_resolution="model"` runs thresholding + connected
+        components on the model-resolution probability map and scales the
+        resulting rects back to page coordinates, skipping the full-page
+        mask upsample entirely. Coordinate precision is identical in spirit —
+        the page-resolution mask is itself just a bilinear upsample of the
+        model output (detection.rs:187-198) — and the mask-processing cost
+        drops by the resize factor squared. The default ("page") matches the
+        reference bit-for-bit."""
         self._model = model
         self._params = params
         self._input_hw = fixed_hw(model.input_shape())
         self._postprocess = postprocess
+        self._post_res = postprocess_resolution
 
     @property
     def threshold(self) -> float:
@@ -126,6 +136,8 @@ class TextDetector:
 
     def detect_words(self, image: jax.Array, debug: bool = False) -> list[RotatedRect]:
         """(1, H, W) normalized greyscale -> unordered word rects."""
+        if self._post_res == "model":
+            return self._detect_words_model_res(image)
         probs = self.detect_text_pixels(image, debug=debug)
         if self._postprocess == "device":
             return device_rects.rects_from_mask_device(
@@ -137,6 +149,45 @@ class TextDetector:
         return rects_from_mask_host(
             mask, expand_dist=EXPAND_DIST, min_area=self._params.min_area
         )
+
+    def _detect_words_model_res(self, image: jax.Array) -> list[RotatedRect]:
+        """Fast path: post-process at model resolution, then scale rects to
+        page coordinates. Expansion and area filtering happen in page space
+        so thresholds keep their reference meaning."""
+        _, img_h, img_w = image.shape
+        in_h, in_w = self._input_hw
+        pad_bottom = max(in_h - img_h, 0)
+        pad_right = max(in_w - img_w, 0)
+        crop_h, crop_w = in_h - pad_bottom, in_w - pad_right
+        x = _pre(image, input_hw=self._input_hw, pads=(pad_bottom, pad_right))
+        probs = self._model.run(x)
+        # Scale factors from cropped model-res mask to page coords.
+        sx = img_w / crop_w
+        sy = img_h / crop_h
+
+        if self._postprocess == "device":
+            mask = _threshold_crop(
+                probs, crop_hw=(crop_h, crop_w), threshold=self._params.text_threshold
+            )
+            raw = device_rects.rects_from_mask_device(mask, expand_dist=0.0, min_area=0.0)
+        else:
+            p = np.asarray(probs).reshape(in_h, in_w)[:crop_h, :crop_w]
+            raw = rects_from_mask_host(
+                p > self._params.text_threshold, expand_dist=0.0, min_area=0.0
+            )
+
+        out: list[RotatedRect] = []
+        scale = np.array([sx, sy])
+        for rect in raw:
+            corners = np.stack(rect.corners()) * scale[None, :]
+            scaled = min_area_rect(corners)
+            assert scaled is not None
+            scaled.resize(
+                scaled.width + 2.0 * EXPAND_DIST, scaled.height + 2.0 * EXPAND_DIST
+            )
+            if scaled.area() >= self._params.min_area:
+                out.append(scaled)
+        return out
 
 
 @partial(jax.jit, static_argnames=("input_hw", "pads"))
@@ -154,6 +205,15 @@ def _pre(image: jax.Array, *, input_hw: tuple[int, int], pads: tuple[int, int]) 
     if x.shape[-2:] != input_hw:
         x = resize_bilinear(x, input_hw)
     return x
+
+
+@partial(jax.jit, static_argnames=("crop_hw", "threshold"))
+def _threshold_crop(
+    probs: jax.Array, *, crop_hw: tuple[int, int], threshold: float
+) -> jax.Array:
+    """Model-res output -> cropped binary mask, on device."""
+    p = probs.reshape(probs.shape[-2], probs.shape[-1])
+    return p[: crop_hw[0], : crop_hw[1]] > threshold
 
 
 @partial(jax.jit, static_argnames=("out_hw", "crop_hw"))

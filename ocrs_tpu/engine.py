@@ -56,6 +56,9 @@ class OcrEngineParams:
     #: "host": exact scipy CC + rotating calipers. "device": on-device CCL +
     #: segmented rect fitting (page stays in HBM).
     detection_postprocess: Literal["host", "device"] = "host"
+    #: "page": threshold/CC on the page-resolution mask (reference behaviour).
+    #: "model": post-process at model resolution and scale rects (fast path).
+    detection_postprocess_resolution: Literal["page", "model"] = "page"
     #: Maps a resized line width to its padded bucket width. None = the
     #: lane-aligned TPU ladder; ``recognition.reference_bucket`` gives the
     #: reference's multiples-of-50 behaviour.
@@ -80,6 +83,7 @@ class OcrEngine:
                 params.detection_model,
                 params.detector_params,
                 postprocess=params.detection_postprocess,
+                postprocess_resolution=params.detection_postprocess_resolution,
             )
             if params.detection_model is not None
             else None

@@ -1,8 +1,9 @@
 """Layout analysis: group word rects into lines in reading order.
 
 Host-side implementation (the input is a few hundred to a few thousand word
-rects — far too small to benefit from the TPU). Algorithmic parity with the
-reference:
+rects — far too small to benefit from the TPU, but latency-critical, so the
+hot paths are tight vectorized numpy over struct-of-arrays). Algorithmic
+parity with the reference:
 
   * :func:`group_into_lines` — greedy left-to-right chaining with vertical
     overlap >= 5 px, horizontal overlap <= 5 px and separator-crossing checks
@@ -22,15 +23,9 @@ import itertools
 import math
 from typing import Callable, Iterable, Iterator, Optional, Sequence
 
-from .geometry import (
-    Line,
-    Rect,
-    RotatedRect,
-    bounding_rect,
-    leftmost_edge,
-    point,
-    rightmost_edge,
-)
+import numpy as np
+
+from .geometry import Line, Rect, RotatedRect, point
 
 # Minimum vertical overlap (px) for two words to share a line
 # (layout_analysis.rs:27).
@@ -40,43 +35,156 @@ OVERLAP_THRESHOLD = 5
 MAX_H_OVERLAP = 5
 
 
-def _rects_separated_by_line(a: RotatedRect, b: RotatedRect, sep: Line) -> bool:
-    return Line(point(*a.center), point(*b.center)).intersects(sep)
+def _segments_intersect_matrix(
+    p: np.ndarray, q: np.ndarray, s1: np.ndarray, s2: np.ndarray
+) -> np.ndarray:
+    """Vectorized segment intersection: segments (p, q[i]) against segments
+    (s1[j], s2[j]). Touching counts. p: (2,), q: (N, 2), s1/s2: (S, 2).
+    Returns (N, S) bool."""
+    d = q - p[None, :]  # (N, 2)
+    e = s2 - s1  # (S, 2)
+    qp = s1[None, :, :] - p[None, None, :]  # (1, S, 2)
+
+    dx, dy = d[:, 0][:, None], d[:, 1][:, None]  # (N, 1)
+    ex, ey = e[:, 0][None, :], e[:, 1][None, :]  # (1, S)
+    qpx, qpy = qp[0, :, 0][None, :], qp[0, :, 1][None, :]  # (1, S)
+
+    denom = dx * ey - dy * ex  # (N, S)
+    t_num = qpx * ey - qpy * ex
+    u_num = qpx * dy - qpy * dx
+    nonpar = denom != 0.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = t_num / denom
+        u = u_num / denom
+    hit = nonpar & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    collinear = (~nonpar) & (u_num == 0.0)
+    if collinear.any():
+        rr = (d * d).sum(axis=1)[:, None]  # (N, 1)
+        rr = np.where(rr == 0.0, 1.0, rr)
+        t0 = (qpx * dx + qpy * dy) / rr
+        t1 = t0 + (ex * dx + ey * dy) / rr
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        hit |= collinear & (hi >= 0.0) & (lo <= 1.0)
+    return hit
+
+
+class _WordIndex:
+    """Struct-of-arrays over word rects for the greedy chaining: centers,
+    leftmost/rightmost edge midpoints and y-intervals."""
+
+    def __init__(self, rects: Sequence[RotatedRect]):
+        n = len(rects)
+        # corners: (n, 4, 2)
+        cs = np.empty((n, 4, 2))
+        cx = np.empty(n)
+        cy = np.empty(n)
+        for i, r in enumerate(rects):
+            right = r.right_axis() * (r.width / 2.0)
+            up = r.up * (r.height / 2.0)
+            c = r.center
+            cs[i, 0] = c + right - up
+            cs[i, 1] = c - right - up
+            cs[i, 2] = c - right + up
+            cs[i, 3] = c + right + up
+            cx[i], cy[i] = c
+        order = np.argsort(cs[:, :, 0], axis=1, kind="stable")
+        sorted_x = np.take_along_axis(cs[:, :, 0], order, axis=1)
+        sorted_y = np.take_along_axis(cs[:, :, 1], order, axis=1)
+        self.cx = cx
+        self.cy = cy
+        self.bleft = cs[:, :, 0].min(axis=1)
+        self.lcx = (sorted_x[:, 0] + sorted_x[:, 1]) / 2.0
+        self.ly0 = np.minimum(sorted_y[:, 0], sorted_y[:, 1])
+        self.ly1 = np.maximum(sorted_y[:, 0], sorted_y[:, 1])
+        self.rcx = (sorted_x[:, 2] + sorted_x[:, 3]) / 2.0
+        self.ry0 = np.minimum(sorted_y[:, 2], sorted_y[:, 3])
+        self.ry1 = np.maximum(sorted_y[:, 2], sorted_y[:, 3])
 
 
 def group_into_lines(
     rects: Sequence[RotatedRect], separators: Sequence[Line] = ()
 ) -> list[list[RotatedRect]]:
-    """Chain word rects into lines, left to right (layout_analysis.rs:19-71)."""
-    remaining = sorted(range(len(rects)), key=lambda i: int(rects[i].bounding_rect().left))
-    items = [rects[i] for i in remaining]
-    lines: list[list[RotatedRect]] = []
+    lines = [[rects[i] for i in line] for line in _group_into_lines_idx(rects, separators)]
+    return lines
 
-    while items:
-        line = [items.pop(0)]
-        while True:
-            last = line[-1]
-            last_edge = rightmost_edge(last)
-            best_idx: Optional[int] = None
-            best_cx: Optional[int] = None
-            for i, r in enumerate(items):
-                edge = leftmost_edge(r)
-                if (
-                    r.center[0] > last.center[0]
-                    and edge.center()[0] - last_edge.center()[0] >= -float(MAX_H_OVERLAP)
-                    and last_edge.vertical_overlap(edge) >= float(OVERLAP_THRESHOLD)
-                    and not any(
-                        _rects_separated_by_line(last, r, s) for s in separators
-                    )
-                ):
-                    cx = int(r.center[0])
-                    if best_cx is None or cx < best_cx:
-                        best_cx = cx
-                        best_idx = i
-            if best_idx is None:
+
+def _group_into_lines_idx(
+    rects: Sequence[RotatedRect],
+    separators: Sequence[Line] = (),
+    idx: Optional[_WordIndex] = None,
+) -> list[list[int]]:
+    """Chain word rects into lines, left to right (layout_analysis.rs:19-71).
+
+    Semantics match the reference exactly; the candidate filter is one
+    vectorized pass over all remaining rects per appended word. Returns
+    lists of indices into `rects`.
+    """
+    n = len(rects)
+    if n == 0:
+        return []
+    if idx is None:
+        idx = _WordIndex(rects)
+    # Stable sort by integer left coordinate (reference sorts by
+    # `bounding_rect().left() as i32`; ties keep input order). All arrays are
+    # re-ordered positionally so "first remaining" is a simple cursor scan.
+    order = np.array(
+        sorted(range(n), key=lambda i: int(idx.bleft[i])), dtype=np.int64
+    )
+    cx = idx.cx[order]
+    cy = idx.cy[order]
+    lcx = idx.lcx[order]
+    ly0 = idx.ly0[order]
+    ly1 = idx.ly1[order]
+    rcx = idx.rcx[order]
+    ry0 = idx.ry0[order]
+    ry1 = idx.ry1[order]
+    cx_int = cx.astype(np.int64)
+
+    have_seps = len(separators) > 0
+    if have_seps:
+        s1 = np.stack([np.asarray(s.start, float) for s in separators])
+        s2 = np.stack([np.asarray(s.end, float) for s in separators])
+
+    alive = np.ones(n, dtype=bool)
+    pos_iota = np.arange(n)
+    lines: list[list[int]] = []
+    n_alive = n
+    cursor = 0
+    while n_alive:
+        while not alive[cursor]:
+            cursor += 1
+        seed = cursor
+        alive[seed] = False
+        n_alive -= 1
+        line = [seed]
+        last = seed
+        while n_alive:
+            cond = (
+                alive
+                & (cx > cx[last])
+                & (lcx - rcx[last] >= -float(MAX_H_OVERLAP))
+                & (
+                    np.minimum(ry1[last], ly1) - np.maximum(ry0[last], ly0)
+                    >= float(OVERLAP_THRESHOLD)
+                )
+            )
+            if have_seps and cond.any():
+                cand = pos_iota[cond]
+                p = np.array([cx[last], cy[last]])
+                q = np.stack([cx[cand], cy[cand]], axis=1)
+                blocked = _segments_intersect_matrix(p, q, s1, s2).any(axis=1)
+                cond[cand[blocked]] = False
+            if not cond.any():
                 break
-            line.append(items.pop(best_idx))
-        lines.append(line)
+            cands = pos_iota[cond]
+            # min_by_key(center.x as i32): first minimum in remaining order.
+            best = int(cands[np.argmin(cx_int[cands])])
+            alive[best] = False
+            n_alive -= 1
+            line.append(best)
+            last = best
+        lines.append([int(order[i]) for i in line])
     return lines
 
 
@@ -93,29 +201,55 @@ def max_empty_rects(
     partitions split around a central pivot obstacle (Breuel 2002;
     empty_rects.rs:86-137). `score` must be monotone under containment.
     """
-    obs = sorted(obstacles, key=lambda o: (int(o.center()[0]), int(o.center()[1])))
+    obs_sorted = sorted(obstacles, key=lambda o: (int(o.center()[0]), int(o.center()[1])))
+    yield from _max_empty_rects_tlbr(
+        np.array(
+            [[o.top, o.left, o.bottom, o.right] for o in obs_sorted], dtype=np.float64
+        ).reshape(-1, 4),
+        (boundary.top, boundary.left, boundary.bottom, boundary.right),
+        lambda t, l, b, r: score(Rect.from_tlbr(t, l, b, r)),
+        min_width,
+        min_height,
+    )
+
+
+def _max_empty_rects_tlbr(
+    obs: np.ndarray,
+    boundary: tuple[float, float, float, float],
+    score: Callable[[float, float, float, float], float],
+    min_width: float,
+    min_height: float,
+) -> Iterator[Rect]:
+    """Core loop over plain (t, l, b, r) tuples + (K, 4) obstacle arrays."""
+    bt, bl, bb, br = boundary
     counter = itertools.count()  # tie-break for the heap
-    queue: list[tuple[float, int, Rect, list[Rect]]] = []
-    if not boundary.is_empty():
-        heapq.heappush(queue, (-score(boundary), next(counter), boundary, obs))
+    queue: list = []
+    if br - bl > 0 and bb - bt > 0:
+        heapq.heappush(queue, (-score(bt, bl, bb, br), next(counter), boundary, obs))
 
     while queue:
-        _, _, b, part_obs = heapq.heappop(queue)
-        if not part_obs:
-            yield b
+        _, _, (t, l, b, r), part_obs = heapq.heappop(queue)
+        if len(part_obs) == 0:
+            yield Rect.from_tlbr(t, l, b, r)
             continue
-        pivot = part_obs[len(part_obs) // 2]
-        sub_rects = [
-            Rect.from_tlbr(b.top, b.left, pivot.top, b.right),  # top
-            Rect.from_tlbr(b.top, b.left, b.bottom, pivot.left),  # left
-            Rect.from_tlbr(pivot.bottom, b.left, b.bottom, b.right),  # bottom
-            Rect.from_tlbr(b.top, pivot.right, b.bottom, b.right),  # right
-        ]
-        for sr in sub_rects:
-            if max(sr.width, 0) < min_width or max(sr.height, 0) < min_height or sr.is_empty():
+        pt, pl, pb, pr = part_obs[len(part_obs) // 2]
+        for st, sl, sb, sr in (
+            (t, l, pt, r),  # top
+            (t, l, b, pl),  # left
+            (pb, l, b, r),  # bottom
+            (t, pr, b, r),  # right
+        ):
+            w = sr - sl
+            h = sb - st
+            if max(w, 0) < min_width or max(h, 0) < min_height or w <= 0 or h <= 0:
                 continue
-            sr_obs = [o for o in part_obs if o.intersects(sr)]
-            heapq.heappush(queue, (-score(sr), next(counter), sr, sr_obs))
+            inter = (
+                (np.minimum(part_obs[:, 2], sb) > np.maximum(part_obs[:, 0], st))
+                & (np.minimum(part_obs[:, 3], sr) > np.maximum(part_obs[:, 1], sl))
+            )
+            heapq.heappush(
+                queue, (-score(st, sl, sb, sr), next(counter), (st, sl, sb, sr), part_obs[inter])
+            )
 
 
 def filter_overlapping(rect_iter: Iterable[Rect], factor: float) -> Iterator[Rect]:
@@ -129,100 +263,154 @@ def filter_overlapping(rect_iter: Iterable[Rect], factor: float) -> Iterator[Rec
         yield r
 
 
+def _bounding_rects(rects: Sequence[RotatedRect]) -> np.ndarray:
+    """(n, 4) t/l/b/r bounding boxes of rotated rects."""
+    out = np.empty((len(rects), 4))
+    for i, r in enumerate(rects):
+        right = np.abs(r.right_axis()) * (r.width / 2.0)
+        up = np.abs(r.up) * (r.height / 2.0)
+        ext = right + up
+        out[i, 0] = r.center[1] - ext[1]
+        out[i, 1] = r.center[0] - ext[0]
+        out[i, 2] = r.center[1] + ext[1]
+        out[i, 3] = r.center[0] + ext[0]
+    return out
+
+
 def find_block_separators(words: Sequence[RotatedRect]) -> list[Rect]:
     """Find whitespace rects separating columns/sections
     (layout_analysis.rs:83-155)."""
-    page_rect = bounding_rect(w.bounding_rect() for w in words)
-    if page_rect is None:
+    if not words:
         return []
-    page_rect = page_rect.integral_bounding_rect()
+    boxes = _bounding_rects(words)
+    page = (
+        math.floor(boxes[:, 0].min()),
+        math.floor(boxes[:, 1].min()),
+        math.ceil(boxes[:, 2].max()),
+        math.ceil(boxes[:, 3].max()),
+    )
 
     # Estimate spacing statistics from a separator-free line grouping.
-    lines = group_into_lines(words, ())
-    lines.sort(key=lambda l: int(round(l[0].bounding_rect().top)))
+    lines_idx = _group_into_lines_idx(words, ())
+    lines_idx.sort(key=lambda li: int(round(boxes[li[0], 0])))
 
     all_spacings: list[int] = []
-    for line in lines:
-        if len(line) > 1:
-            spacings = sorted(
-                int(round(max(nxt.bounding_rect().left - cur.bounding_rect().right, 0.0)))
-                for cur, nxt in zip(line, line[1:])
-            )
-            all_spacings.extend(spacings)
+    for li in lines_idx:
+        if len(li) > 1:
+            arr = boxes[li]
+            spacings = np.maximum(arr[1:, 1] - arr[:-1, 3], 0.0)
+            all_spacings.extend(sorted(int(round(s)) for s in spacings))
     all_spacings.sort()
 
     median_word_spacing = all_spacings[len(all_spacings) // 2] if all_spacings else 10
     # nb. matches the reference exactly: the "median" height is the height of
     # the middle element of `words` in *input order* (layout_analysis.rs:113).
-    median_height = (
-        int(round(words[len(words) // 2].height)) if len(words) // 2 < len(words) else 10
-    )
+    median_height = int(round(words[len(words) // 2].height))
 
-    def score(r: Rect) -> float:
+    def score(t: float, l: float, b: float, r: float) -> float:
         """Shafait tall-rect score (layout_analysis.rs:127-135)."""
-        aspect = r.height / r.width
+        w = r - l
+        h = b - t
+        aspect = h / w
         la = abs(math.log2(aspect)) if aspect > 0 else float("inf")
-        if la < 3.0:
-            weight = 0.5
-        elif la < 5.0:
-            weight = 1.5
-        else:
-            weight = la
-        return math.sqrt(r.area * weight)
+        weight = 0.5 if la < 3.0 else (1.5 if la < 5.0 else la)
+        return math.sqrt(max(w, 0) * max(h, 0) * weight)
 
-    object_bboxes = [w.bounding_rect().integral_bounding_rect() for w in words]
+    # Integral bounding boxes of the words are the obstacles.
+    obs = np.stack(
+        [
+            np.floor(boxes[:, 0]),
+            np.floor(boxes[:, 1]),
+            np.ceil(boxes[:, 2]),
+            np.ceil(boxes[:, 3]),
+        ],
+        axis=1,
+    )
+    order = sorted(
+        range(len(words)),
+        key=lambda i: (int((obs[i, 1] + obs[i, 3]) / 2), int((obs[i, 0] + obs[i, 2]) / 2)),
+    )
+    obs = obs[order]
+
     min_width = median_word_spacing * 3
     min_height = 3 * max(median_height, 0)
 
-    it = max_empty_rects(object_bboxes, page_rect, score, min_width, min_height)
+    it = _max_empty_rects_tlbr(obs, page, score, min_width, min_height)
     return list(itertools.islice(filter_overlapping(it, 0.5), 80))
-
-
-def _midpoint_line(words: Sequence[RotatedRect]) -> Line:
-    """1-D approximation of a text line (layout_analysis.rs:182-189)."""
-    assert words
-    return Line(
-        words[0].bounding_rect().left_edge().center(),
-        words[-1].bounding_rect().right_edge().center(),
-    )
 
 
 def find_text_lines(words: Sequence[RotatedRect]) -> list[list[RotatedRect]]:
     """Group words into lines and sort into reading order
     (layout_analysis.rs:158-232)."""
+    if not words:
+        return []
     separators = find_block_separators(words)
     vertical_seps = [
         Line(point(r.center()[0], r.top), point(r.center()[0], r.bottom))
         for r in separators
     ]
-    horizontal_seps = [
-        Line(point(r.left, r.center()[1]), point(r.right, r.center()[1]))
-        for r in separators
-    ]
 
-    lines = group_into_lines(words, vertical_seps)
-    lines.sort(key=lambda l: int(_midpoint_line(l).center()[1]))
+    lines_idx = _group_into_lines_idx(words, vertical_seps)
 
-    def is_separated(a: Line, b: Line) -> bool:
-        a_to_b = Line(a.center(), b.center())
-        return any(s.intersects(a_to_b) for s in horizontal_seps)
+    # Approximate each text line by the 1-D segment from the centre of its
+    # first word's left bbox edge to the centre of its last word's right
+    # bbox edge (layout_analysis.rs:182-189); precompute once.
+    boxes = _bounding_rects(words)
+    mid = np.empty((len(lines_idx), 4))  # x0, y0, x1, y1
+    for k, li in enumerate(lines_idx):
+        f, l = boxes[li[0]], boxes[li[-1]]
+        mid[k] = (f[1], (f[0] + f[2]) / 2.0, l[3], (l[0] + l[2]) / 2.0)
+
+    # Sort lines by the midpoint's vertical position.
+    order = sorted(
+        range(len(lines_idx)), key=lambda k: int((mid[k, 1] + mid[k, 3]) / 2.0)
+    )
+    lines_idx = [lines_idx[k] for k in order]
+    mid = mid[order]
+
+    if separators:
+        h1 = np.stack([[r.left, r.center()[1]] for r in separators])
+        h2 = np.stack([[r.right, r.center()[1]] for r in separators])
 
     # Greedy paragraph clustering: repeatedly seed a paragraph with the first
     # unassigned line, then absorb all following lines that horizontally
     # overlap the paragraph's current last line and are not separated from it.
-    paragraphs: list[list[list[RotatedRect]]] = []
-    while lines:
-        seed = lines.pop(0)
+    n = len(lines_idx)
+    alive = np.ones(n, dtype=bool)
+    result: list[list[RotatedRect]] = []
+    remaining = n
+    cursor = 0
+    while remaining:
+        while not alive[cursor]:
+            cursor += 1
+        seed = cursor
+        alive[seed] = False
+        remaining -= 1
         para = [seed]
-        prev = _midpoint_line(seed)
-        i = 0
-        while i < len(lines):
-            cand = _midpoint_line(lines[i])
-            if prev.horizontal_overlap(cand) > 0.0 and not is_separated(prev, cand):
-                para.append(lines.pop(i))
-                prev = cand
-            else:
-                i += 1
-        paragraphs.append(para)
-
-    return [line for para in paragraphs for line in para]
+        prev = mid[seed]
+        i = seed + 1
+        while i < n:
+            if alive[i]:
+                cand = mid[i]
+                lo = max(min(prev[0], prev[2]), min(cand[0], cand[2]))
+                hi = min(max(prev[0], prev[2]), max(cand[0], cand[2]))
+                if hi - lo > 0.0:
+                    separated = False
+                    if separators:
+                        p = np.array([(prev[0] + prev[2]) / 2.0, (prev[1] + prev[3]) / 2.0])
+                        q = np.array(
+                            [[(cand[0] + cand[2]) / 2.0, (cand[1] + cand[3]) / 2.0]]
+                        )
+                        separated = bool(_segments_intersect_matrix(p, q, h1, h2).any())
+                    if not separated:
+                        alive[i] = False
+                        remaining -= 1
+                        para.append(i)
+                        prev = cand
+            i += 1
+        result.extend(para)
+        # `result` accumulates line ids in paragraph order; flattening below.
+    flat: list[list[RotatedRect]] = [
+        [words[i] for i in lines_idx[k]] for k in result
+    ]
+    return flat

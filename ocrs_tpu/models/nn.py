@@ -1,0 +1,162 @@
+"""Minimal pure-JAX neural-net layer library (init/apply style).
+
+Used by the real detection and recognition models. Parameters are plain
+pytrees (nested dicts of jnp arrays) so they compose directly with
+``jax.jit``/``jax.grad``/``optax`` and with ``jax.sharding`` for the
+multi-chip paths — no framework state objects.
+
+Compute convention: activations NHWC bfloat16 (MXU-native), parameters
+float32, accumulation float32 via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _he_normal(key, shape, fan_in):
+    std = math.sqrt(2.0 / fan_in)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+# ---------------------------------------------------------------------------
+# Conv2D (NHWC x HWIO)
+# ---------------------------------------------------------------------------
+
+
+def conv_init(key, kh: int, kw: int, cin: int, cout: int) -> dict:
+    return {
+        "w": _he_normal(key, (kh, kw, cin, cout), fan_in=kh * kw * cin),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def conv_apply(params: dict, x: jax.Array, stride=(1, 1), padding="SAME") -> jax.Array:
+    w = params["w"].astype(x.dtype)
+    # nb. inputs/outputs stay in x.dtype (bf16 on the forward path); the MXU
+    # still accumulates bf16 matmuls in fp32 internally. Mixed-dtype
+    # primitives would break the VJP (conv requires equal operand dtypes).
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+def conv_transpose_init(key, kh: int, kw: int, cin: int, cout: int) -> dict:
+    return {
+        "w": _he_normal(key, (kh, kw, cin, cout), fan_in=kh * kw * cin),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def conv_transpose_apply(params: dict, x: jax.Array, stride=(2, 2)) -> jax.Array:
+    w = params["w"].astype(x.dtype)
+    out = jax.lax.conv_transpose(
+        x,
+        w,
+        strides=tuple(stride),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + params["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Dense
+# ---------------------------------------------------------------------------
+
+
+def dense_init(key, cin: int, cout: int) -> dict:
+    return {
+        "w": _he_normal(key, (cin, cout), fan_in=cin),
+        "b": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def dense_apply(params: dict, x: jax.Array) -> jax.Array:
+    out = jnp.dot(x, params["w"].astype(x.dtype))
+    return out + params["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# GRU
+# ---------------------------------------------------------------------------
+
+
+def gru_init(key, cin: int, hidden: int) -> dict:
+    """Gated recurrent unit. Gate order in the fused matrices: [r, z, n]."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "wx": _he_normal(k1, (cin, 3 * hidden), fan_in=cin),
+        "wh": _he_normal(k2, (hidden, 3 * hidden), fan_in=hidden),
+        "bx": jnp.zeros((3 * hidden,), jnp.float32),
+        "bh": jnp.zeros((3 * hidden,), jnp.float32),
+    }
+
+
+def gru_apply(params: dict, x: jax.Array, reverse: bool = False) -> jax.Array:
+    """Run a GRU over [N, T, C] -> [N, T, H].
+
+    TPU-friendly formulation: the input projection for every timestep is one
+    large MXU matmul outside the scan; the scan body only carries the
+    [N, H] x [H, 3H] recurrent matmul.
+    """
+    n, t, _ = x.shape
+    hidden = params["wh"].shape[0]
+    xp = (
+        jnp.dot(x, params["wx"].astype(x.dtype)).astype(jnp.float32)
+        + params["bx"]
+    )  # [N, T, 3H]; recurrence runs in fp32 for stability
+    if reverse:
+        xp = jnp.flip(xp, axis=1)
+    xp = jnp.swapaxes(xp, 0, 1)  # [T, N, 3H]
+
+    wh = params["wh"]
+    bh = params["bh"]
+
+    def step(h, xt):
+        hp = jnp.dot(h, wh) + bh  # [N, 3H] fp32
+        xr, xz, xn = jnp.split(xt, 3, axis=-1)
+        hr, hz, hn = jnp.split(hp, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        nval = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * nval + z * h
+        return h_new, h_new
+
+    h0 = jnp.zeros((n, hidden), jnp.float32)
+    _, hs = jax.lax.scan(step, h0, xp)
+    hs = jnp.swapaxes(hs, 0, 1)  # [N, T, H]
+    if reverse:
+        hs = jnp.flip(hs, axis=1)
+    return hs.astype(x.dtype)
+
+
+def bigru_init(key, cin: int, hidden: int) -> dict:
+    kf, kb = jax.random.split(key)
+    return {"fwd": gru_init(kf, cin, hidden), "bwd": gru_init(kb, cin, hidden)}
+
+
+def bigru_apply(params: dict, x: jax.Array) -> jax.Array:
+    """Bidirectional GRU: concatenated forward/backward states [N, T, 2H]."""
+    fwd = gru_apply(params["fwd"], x, reverse=False)
+    bwd = gru_apply(params["bwd"], x, reverse=True)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Param utilities
+# ---------------------------------------------------------------------------
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

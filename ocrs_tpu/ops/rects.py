@@ -1,21 +1,25 @@
 """On-device oriented word-rect extraction from labelled masks.
 
 The reference does this on CPU with contour tracing + convex hull + rotating
-calipers (detection.rs:41-62). On TPU we avoid the pointer-chasing entirely:
+calipers (detection.rs:41-62). The TPU formulation avoids pointer-chasing
+*and* avoids scatter-heavy segmented reductions:
 
   1. :func:`ocrs_tpu.ops.connected_components.label_components_device`
      labels the mask in HBM.
-  2. A single segmented-reduction pass computes per-component pixel counts,
-     centroids and second moments; the principal (PCA) axis of each
-     component gives a near-optimal rect orientation for text blobs.
-  3. A short coarse-to-fine angle scan around the PCA angle refines each
-     component's angle against the true min-area objective (extent product),
-     using segmented min/max of pixel projections. This is the device-side
-     stand-in for rotating calipers: exact up to the final angular step
-     (default 0.9 degrees, i.e. sub-pixel for word-sized components).
+  2. Boundary pixels (mask minus its 8-erosion) are extracted — min/max
+     projections of a component are attained on its boundary, so interior
+     pixels are dead weight.
+  3. One ``argsort`` over the boundary labels groups each component's points
+     contiguously; a static-size ``nonzero`` finds segment starts. Each
+     component's boundary is then **gathered into a dense
+     [max_components, max_points] tile** (uniformly subsampled if longer).
+  4. The min-area angle search — a dense scan over candidate angles with two
+     refinement rounds (final resolution ~0.9 deg) — runs entirely on these
+     dense tiles: pure VPU min/max reductions, no scatters. This is the
+     device-side equivalent of rotating calipers, exact up to the final
+     angular step.
 
-Everything is static-shape: reductions go to a fixed ``max_components``
-table; only the tiny [max_components, 6] result table is copied to host.
+Only the tiny [max_components] result table is copied to host.
 """
 
 from __future__ import annotations
@@ -29,129 +33,117 @@ import numpy as np
 from ..geometry import RotatedRect
 from .connected_components import label_components_device
 
-_BIG = jnp.float32(3.4e38)
+_INT_MAX = np.iinfo(np.int32).max
 
 
-def _segment_minmax(vals: jax.Array, seg: jax.Array, num_segments: int):
-    mn = jnp.full((num_segments,), _BIG).at[seg].min(vals, mode="drop")
-    mx = jnp.full((num_segments,), -_BIG).at[seg].max(vals, mode="drop")
-    return mn, mx
-
-
-@partial(jax.jit, static_argnames=("max_components", "coarse_steps", "rounds"))
+@partial(
+    jax.jit,
+    static_argnames=("max_components", "max_points", "coarse_steps", "rounds"),
+)
 def min_area_rects_device(
     labels: jax.Array,
-    max_components: int = 2048,
-    coarse_steps: int = 13,
+    max_components: int = 1024,
+    max_points: int = 512,
+    coarse_steps: int = 16,
     rounds: int = 3,
 ):
     """Fit oriented min-area rects to each labelled component.
 
-    `labels`: int32 [H, W], -1 = background (from
-    ``label_components_device``). Returns a dict of arrays of length
-    ``max_components``: ``valid`` (bool), ``cx, cy, ux, uy, w, h`` (float32)
-    where (ux, uy) is the rect's height axis ("up") and ``count`` (int32)
-    pixel counts. Width is the extent perpendicular to up; extents are
-    max-min of pixel-centre projections, matching the host path's point
-    extents.
+    `labels`: int32 [H, W], -1 = background. Returns a dict of arrays of
+    length ``max_components``: ``valid`` (bool), ``cx, cy, ux, uy, w, h``
+    (float32) where (ux, uy) is the rect's "up" axis and ``count`` (int32)
+    boundary point counts. Extents are max-min of pixel-centre projections,
+    matching the host path's point extents.
     """
     h, w = labels.shape
-    flat = labels.reshape(-1)
+    mask = labels >= 0
 
-    # Compact arbitrary label values to segment ids [0, max_components).
-    uniq = jnp.unique(flat, size=max_components + 1, fill_value=-1)
-    # uniq[0] is -1 (background) whenever any background exists; build the
-    # component table from positive entries only.
-    comp_vals = jnp.where(uniq >= 0, uniq, jnp.iinfo(jnp.int32).max)
-    comp_vals = jnp.sort(comp_vals)[:max_components]  # ascending, pad=INT_MAX
-    valid = comp_vals < jnp.iinfo(jnp.int32).max
+    # Boundary extraction: pixels with at least one non-member 8-neighbour.
+    mp = jnp.pad(mask, 1, constant_values=False)
+    interior = (
+        mp[:-2, :-2]
+        & mp[:-2, 1:-1]
+        & mp[:-2, 2:]
+        & mp[1:-1, :-2]
+        & mp[1:-1, 2:]
+        & mp[2:, :-2]
+        & mp[2:, 1:-1]
+        & mp[2:, 2:]
+    )
+    boundary = mask & ~interior
 
-    seg = jnp.searchsorted(comp_vals, flat)  # [H*W]
-    seg = jnp.where(flat >= 0, seg, max_components)  # background -> dropped
-    seg = jnp.minimum(seg, max_components)
+    flat = jnp.where(boundary, labels, _INT_MAX).reshape(-1)
+    p = flat.shape[0]
+    order = jnp.argsort(flat)  # stable: groups components, background last
+    slab = flat[order]
+    xs_sorted = (order % w).astype(jnp.float32)
+    ys_sorted = (order // w).astype(jnp.float32)
 
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0).reshape(-1)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1).reshape(-1)
+    pos = jnp.arange(p, dtype=jnp.int32)
+    valid_pt = slab != _INT_MAX
+    n_valid = jnp.sum(valid_pt, dtype=jnp.int32)
+    new_seg = valid_pt & ((pos == 0) | (slab != jnp.roll(slab, 1)))
+    (starts,) = jnp.nonzero(new_seg, size=max_components, fill_value=p)
+    starts = starts.astype(jnp.int32)
+    next_starts = jnp.concatenate([starts[1:], jnp.full((1,), p, jnp.int32)])
+    ends = jnp.minimum(next_starts, n_valid)
+    counts = jnp.maximum(ends - starts, 0)
+    valid = counts > 0
 
-    ns = max_components
-    ones = jnp.ones_like(xs)
-    count = jnp.zeros((ns,)).at[seg].add(ones, mode="drop")
-    sx = jnp.zeros((ns,)).at[seg].add(xs, mode="drop")
-    sy = jnp.zeros((ns,)).at[seg].add(ys, mode="drop")
-    sxx = jnp.zeros((ns,)).at[seg].add(xs * xs, mode="drop")
-    syy = jnp.zeros((ns,)).at[seg].add(ys * ys, mode="drop")
-    sxy = jnp.zeros((ns,)).at[seg].add(xs * ys, mode="drop")
+    # Gather each component's boundary into a dense tile, uniformly
+    # subsampling components longer than max_points (duplicating points for
+    # shorter ones — duplicates don't change min/max).
+    k = jnp.arange(max_points, dtype=jnp.int32)
+    safe_counts = jnp.maximum(counts, 1)
+    idx = starts[:, None] + (k[None, :] * safe_counts[:, None]) // max_points
+    idx = jnp.clip(idx, 0, p - 1)
+    px = xs_sorted[idx]  # [C, K]
+    py = ys_sorted[idx]
 
-    n = jnp.maximum(count, 1.0)
-    mx, my = sx / n, sy / n
-    cxx = sxx / n - mx * mx
-    cyy = syy / n - my * my
-    cxy = sxy / n - mx * my
+    # Dense angle scan. Min-area rect angle is 90-deg periodic; scan
+    # [-45, 45) coarsely, then refine twice around the best angle.
+    def scan(base, half_range, steps, best):
+        """best = (area, th, pu_mn, pu_mx, pv_mn, pv_mx), all [C]."""
+        offs = (jnp.arange(steps, dtype=jnp.float32) / steps - 0.5) * (2 * half_range)
+        th = base[:, None] + offs[None, :]  # [C, A]
+        c = jnp.cos(th)[:, :, None]  # [C, A, 1]
+        s = jnp.sin(th)[:, :, None]
+        pu = px[:, None, :] * c + py[:, None, :] * s  # [C, A, K]
+        pv = -px[:, None, :] * s + py[:, None, :] * c
+        pu_mn = pu.min(axis=2)
+        pu_mx = pu.max(axis=2)
+        pv_mn = pv.min(axis=2)
+        pv_mx = pv.max(axis=2)
+        area = (pu_mx - pu_mn) * (pv_mx - pv_mn)  # [C, A]
+        a = jnp.argmin(area, axis=1)  # [C]
+        take = lambda m: jnp.take_along_axis(m, a[:, None], axis=1)[:, 0]
+        cand = (take(area), take(th), take(pu_mn), take(pu_mx), take(pv_mn), take(pv_mx))
+        better = cand[0] < best[0]
+        return tuple(jnp.where(better, cn, bo) for cn, bo in zip(cand, best))
 
-    # Principal-axis angle per component (angle of the major axis).
-    theta0 = 0.5 * jnp.arctan2(2.0 * cxy, cxx - cyy)
-
-    def extents(theta):
-        """Per-component extents (w, h) and projection mins for angle table
-        `theta` [ns]."""
-        c = jnp.cos(theta)[seg.clip(0, ns - 1)]
-        s = jnp.sin(theta)[seg.clip(0, ns - 1)]
-        pu = xs * c + ys * s
-        pv = -xs * s + ys * c
-        pu_mn, pu_mx = _segment_minmax(pu, seg, ns)
-        pv_mn, pv_mx = _segment_minmax(pv, seg, ns)
-        return pu_mn, pu_mx, pv_mn, pv_mx
-
-    def scan_angles(base, half_range, steps):
-        """Evaluate `steps` offsets in [-half_range, half_range] around the
-        per-component `base` angles; return the best angle + geometry."""
-        offsets = jnp.linspace(-half_range, half_range, steps)
-
-        def body(carry, off):
-            best_area, best = carry
-            th = base + off
-            pu_mn, pu_mx, pv_mn, pv_mx = extents(th)
-            area = (pu_mx - pu_mn) * (pv_mx - pv_mn)
-            better = area < best_area
-            new_best = tuple(
-                jnp.where(better, new, old)
-                for new, old in zip((th, pu_mn, pu_mx, pv_mn, pv_mx), best)
-            )
-            return (jnp.minimum(area, best_area), new_best), None
-
-        init = (
-            jnp.full((ns,), _BIG),
-            (base, jnp.zeros((ns,)), jnp.zeros((ns,)), jnp.zeros((ns,)), jnp.zeros((ns,))),
-        )
-        (best_area, best), _ = jax.lax.scan(body, init, offsets)
-        return best
-
-    # Coarse scan over the PCA angle's 90-degree ambiguity range, then two
-    # refinement rounds shrinking the bracket by the coarse step each time.
+    big = jnp.full((max_components,), 3.4e38, jnp.float32)
+    zero = jnp.zeros((max_components,), jnp.float32)
+    best = (big, zero, zero, zero, zero, zero)
     half = jnp.deg2rad(45.0)
-    th, pu_mn, pu_mx, pv_mn, pv_mx = scan_angles(theta0, half, coarse_steps)
-    step = 2 * half / (coarse_steps - 1)
+    step = 2 * half / coarse_steps
+    best = scan(zero, half, coarse_steps, best)
     for _ in range(rounds - 1):
-        th, pu_mn, pu_mx, pv_mn, pv_mx = scan_angles(th, step, 5)
-        step = 2 * step / 4
+        best = scan(best[1], step, 8, best)
+        step = 2 * step / 8
 
+    _, th, pu_mn, pu_mx, pv_mn, pv_mx = best
     c, s = jnp.cos(th), jnp.sin(th)
     cu = (pu_mn + pu_mx) / 2.0
     cv = (pv_mn + pv_mx) / 2.0
-    cx = cu * c - cv * s
-    cy = cu * s + cv * c
-    rect_w = pu_mx - pu_mn
-    rect_h = pv_mx - pv_mn
-    # up axis = v direction (perpendicular to the scanned u axis)
     return {
-        "valid": valid & (count > 0),
-        "count": count.astype(jnp.int32),
-        "cx": cx,
-        "cy": cy,
-        "ux": -s,
+        "valid": valid,
+        "count": counts,
+        "cx": cu * c - cv * s,
+        "cy": cu * s + cv * c,
+        "ux": -s,  # up axis = the scanned v direction
         "uy": c,
-        "w": rect_w,
-        "h": rect_h,
+        "w": pu_mx - pu_mn,
+        "h": pv_mx - pv_mn,
     }
 
 
@@ -159,18 +151,28 @@ def rects_from_mask_device(
     mask: jax.Array,
     expand_dist: float,
     min_area: float,
-    max_components: int = 2048,
+    max_components: int = 1024,
 ) -> list[RotatedRect]:
-    """Device CCL + segmented rect fitting; only the small rect table is
-    copied to host. Applies the reference's expand + min-area filtering
+    """Device CCL + dense rect fitting; only the small rect table is copied
+    to host. Applies the reference's expand + min-area filtering
     (detection.rs:104-122)."""
     labels = label_components_device(mask)
     table = min_area_rects_device(labels, max_components=max_components)
+    return rect_table_to_host(table, expand_dist, min_area)
+
+
+def rect_table_to_host(
+    table: dict, expand_dist: float, min_area: float
+) -> list[RotatedRect]:
+    for leaf in jax.tree.leaves(table):
+        try:
+            leaf.copy_to_host_async()
+        except AttributeError:
+            break
     table = jax.device_get(table)
+    valid = np.asarray(table["valid"])
     out: list[RotatedRect] = []
-    for i in range(max_components):
-        if not table["valid"][i]:
-            continue
+    for i in np.nonzero(valid)[0]:
         w = float(table["w"][i]) + 2.0 * expand_dist
         h = float(table["h"][i]) + 2.0 * expand_dist
         if w * h < min_area:

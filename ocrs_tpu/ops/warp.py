@@ -54,7 +54,7 @@ def pad_chain(points: np.ndarray, max_v: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
 def extract_line_batch(
-    page: jax.Array,  # [H, W] normalized greyscale
+    page: jax.Array,  # [H, W] or [P, H, W] normalized greyscale page(s)
     tops: jax.Array,  # [N] f32 line-rect top
     lefts: jax.Array,  # [N] f32 line-rect left
     heights: jax.Array,  # [N] f32 line-rect height
@@ -62,6 +62,7 @@ def extract_line_batch(
     resized_widths: jax.Array,  # [N] f32 per-line resized width (<= out_w)
     top_chain: jax.Array,  # [N, V, 2] upper polygon chain (x, y)
     bot_chain: jax.Array,  # [N, V, 2] lower polygon chain (x, y)
+    page_idx: jax.Array | None = None,  # [N] int32, required when page is 3-D
     *,
     out_h: int,
     out_w: int,
@@ -72,8 +73,11 @@ def extract_line_batch(
     ``left + (x + 0.5) * line_width / resized_width - 0.5`` (half-pixel
     bilinear, matching the reference's buffer-resize), rows likewise; columns
     beyond ``resized_width`` are BLACK padding (recognition.rs:135-158).
+
+    When `page` is a [P, H, W] stack, `page_idx` maps each line to its page —
+    one pooled batch can span a whole multi-page group.
     """
-    ph, pw = page.shape
+    ph, pw = page.shape[-2], page.shape[-1]
     n = tops.shape[0]
 
     # --- sample coordinates -------------------------------------------------
@@ -93,18 +97,30 @@ def extract_line_batch(
     wy = (in_y - y0)[..., None]  # [N, out_h, 1]
     y0i = jnp.clip(y0.astype(jnp.int32), 0, ph - 1)
     y1i = jnp.clip(y0i + 1, 0, ph - 1)
-    rows0 = page[y0i]  # [N, out_h, pw]
-    rows1 = page[y1i]
+    if page.ndim == 3:
+        assert page_idx is not None, "page_idx required for a page stack"
+        pi = page_idx[:, None]
+        rows0 = page[pi, y0i]  # [N, out_h, pw]
+        rows1 = page[pi, y1i]
+    else:
+        rows0 = page[y0i]  # [N, out_h, pw]
+        rows1 = page[y1i]
     vert = rows0 * (1.0 - wy) + rows1 * wy  # [N, out_h, pw]
 
-    # --- horizontal pass: two gathers along the row --------------------------
+    # --- horizontal pass ------------------------------------------------------
+    # A lane-dimension gather ([N, out_h, out_w] scalar gathers) lowers
+    # catastrophically on TPU. Instead transpose so the page-width axis is
+    # the gather axis and each gathered element is a contiguous out_h-wide
+    # row: [N, pw, out_h] gathered at [N, out_w] indices -> row gathers.
     x0 = jnp.floor(in_x)
     wx = in_x - x0  # [N, out_w]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, pw - 1)
     x1i = jnp.clip(x0i + 1, 0, pw - 1)
-    g0 = jnp.take_along_axis(vert, x0i[:, None, :].repeat(out_h, axis=1), axis=2)
-    g1 = jnp.take_along_axis(vert, x1i[:, None, :].repeat(out_h, axis=1), axis=2)
-    samples = g0 * (1.0 - wx[:, None, :]) + g1 * wx[:, None, :]  # [N, out_h, out_w]
+    vert_t = jnp.swapaxes(vert, 1, 2)  # [N, pw, out_h]
+    g0 = jnp.take_along_axis(vert_t, x0i[:, :, None], axis=1)  # [N, out_w, out_h]
+    g1 = jnp.take_along_axis(vert_t, x1i[:, :, None], axis=1)
+    samples_t = g0 * (1.0 - wx[:, :, None]) + g1 * wx[:, :, None]
+    samples = jnp.swapaxes(samples_t, 1, 2)  # [N, out_h, out_w]
 
     # --- polygon band mask ----------------------------------------------------
     ytop = jax.vmap(jnp.interp)(in_x, top_chain[..., 0], top_chain[..., 1])  # [N, out_w]

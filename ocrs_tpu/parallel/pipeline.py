@@ -1,0 +1,338 @@
+"""Multi-page batched OCR pipeline for throughput.
+
+The reference processes one image at a time and gets its parallelism from a
+CPU thread pool (SURVEY.md §2.5). The TPU-native throughput shape is
+different: batch pages through every stage so each device program is large,
+and synchronize with the host as rarely as possible:
+
+  * one batched detection forward for the whole page group;
+  * connected components + rect fitting vmapped over pages, producing one
+    rect table for the group -> ONE device-to-host copy;
+  * layout analysis on host (tiny N, vectorized numpy);
+  * recognition lines POOLED ACROSS PAGES into width buckets (a line batch
+    may span pages via the page-indexed gather in
+    :func:`ocrs_tpu.ops.warp.extract_line_batch`), so batches stay full and
+    the number of compiled programs stays small;
+  * greedy CTC reductions on device with async host copies.
+
+Host syncs per page group: 1 (rect tables) + #recognition-batches (async,
+overlapped). Single-chip this is the throughput path; across chips, wrap it
+with :func:`shard_pages` data parallelism.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..detection import EXPAND_DIST, TextDetectorParams
+from ..geometry import Rect, RotatedRect, min_area_rect
+from ..layout import find_text_lines
+from ..models.protocol import Model, fixed_height_or, fixed_hw
+from ..ops.connected_components import label_components_device
+from ..ops.ctc import collapse_greedy, greedy_labels
+from ..ops.rects import min_area_rects_device, rect_table_to_host
+from ..ops.resize import resize_bilinear
+from ..ops.warp import extract_line_batch, pad_chain
+from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
+from ..recognition import (
+    MAX_CHAIN_V,
+    _LineResult,
+    _RecLine,
+    _pad_batch_size,
+    _text_lines_from_results,
+    ladder_bucket,
+    line_polygon,
+    resized_line_width,
+    TPU_WIDTH_LADDER,
+)
+from ..text_items import TextLine
+
+
+@partial(jax.jit, static_argnames=("is_u8",))
+def _normalize_batch(imgs: jax.Array, is_u8: bool) -> jax.Array:
+    """[B, H, W, C] -> [B, H, W] normalized greyscale (see preprocess.py)."""
+    c = imgs.shape[-1]
+    if c == 1:
+        w = jnp.array([1.0], dtype=jnp.float32)
+    else:
+        w = jnp.array(ITU_WEIGHTS, dtype=jnp.float32)
+        if c == 4:
+            w = jnp.concatenate([w, jnp.zeros((1,), jnp.float32)])
+    if is_u8:
+        w = w / 255.0
+    grey = jnp.tensordot(imgs.astype(jnp.float32), w, axes=([-1], [0]))
+    return grey + BLACK_VALUE
+
+
+@partial(jax.jit, static_argnames=("input_hw", "pads"))
+def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
+    """[B, H, W] -> [B, 1, in_h, in_w] padded+resized detector input."""
+    pad_bottom, pad_right = pads
+    x = pages[:, None]
+    if pad_bottom or pad_right:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, 0), (0, pad_bottom), (0, pad_right)),
+            constant_values=BLACK_VALUE,
+        )
+    if x.shape[-2:] != input_hw:
+        x = resize_bilinear(x, input_hw)
+    return x
+
+
+@partial(jax.jit, static_argnames=("crop_hw", "threshold", "max_components"))
+def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
+    """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
+    masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
+    labels = jax.vmap(label_components_device)(masks)
+    return jax.vmap(
+        partial(min_area_rects_device, max_components=max_components)
+    )(labels)
+
+
+def _scale_rotated_rect(rect: RotatedRect, sx: float, sy: float) -> RotatedRect:
+    """Anisotropically scale a rotated rect by scaling its corners and
+    re-fitting (exact for axis-aligned rects; a tight 4-point min-area fit
+    otherwise). Fast path avoids the generic hull for the common
+    (near-)isotropic or axis-aligned cases."""
+    ux, uy = rect.up
+    if abs(sx - sy) < 1e-9:
+        return RotatedRect(
+            (rect.center[0] * sx, rect.center[1] * sy),
+            (ux, uy),
+            rect.width * sx,
+            rect.height * sy,
+        )
+    if abs(ux) < 1e-9 or abs(uy) < 1e-9:
+        # Axis-aligned (possibly swapped): widths scale along their axes.
+        wx_axis = abs(uy)  # 1 if up is vertical -> width is along x
+        new_w = rect.width * (sx if wx_axis else sy)
+        new_h = rect.height * (sy if wx_axis else sx)
+        return RotatedRect(
+            (rect.center[0] * sx, rect.center[1] * sy), (ux, uy), new_w, new_h
+        )
+    corners = np.stack(rect.corners()) * np.array([sx, sy])[None, :]
+    fitted = min_area_rect(corners)
+    assert fitted is not None
+    return fitted
+
+
+@dataclass
+class PageResult:
+    """Recognition output for one page."""
+
+    words: list[RotatedRect]
+    lines: list[list[RotatedRect]]
+    text_lines: list[Optional[TextLine]]
+
+    @property
+    def text(self) -> str:
+        return "\n".join(str(l) for l in self.text_lines if l is not None)
+
+
+class PagePipeline:
+    """Batched multi-page OCR (see module docstring)."""
+
+    def __init__(
+        self,
+        detection_model: Model,
+        recognition_model: Model,
+        alphabet: str,
+        detector_params: TextDetectorParams = TextDetectorParams(),
+        width_bucket: Optional[Callable[[int], int]] = None,
+        max_lines_per_batch: int = 64,
+        max_components: int = 1024,
+    ):
+        self._det = detection_model
+        self._rec = recognition_model
+        self._alphabet = alphabet
+        self._params = detector_params
+        self._det_hw = fixed_hw(detection_model.input_shape())
+        self._rec_h = fixed_height_or(recognition_model.input_shape(), 50)
+        self._bucket = width_bucket or ladder_bucket(TPU_WIDTH_LADDER)
+        self._max_lines = max_lines_per_batch
+        self._max_components = max_components
+
+    # -- detection ------------------------------------------------------------
+
+    def _detect_tables(self, pages_dev: jax.Array):
+        b, page_h, page_w = pages_dev.shape
+        in_h, in_w = self._det_hw
+        pad_bottom = max(in_h - page_h, 0)
+        pad_right = max(in_w - page_w, 0)
+        crop_h, crop_w = in_h - pad_bottom, in_w - pad_right
+        x = _detect_pre_batch(pages_dev, input_hw=self._det_hw, pads=(pad_bottom, pad_right))
+        probs = self._det.run(x)
+        tables = _masks_to_tables(
+            probs,
+            crop_hw=(crop_h, crop_w),
+            threshold=self._params.text_threshold,
+            max_components=self._max_components,
+        )
+        return tables, (page_w / crop_w, page_h / crop_h)
+
+    def _tables_to_words(self, tables, scale) -> list[list[RotatedRect]]:
+        sx, sy = scale
+        # ONE device->host copy for the whole stacked table.
+        for leaf in jax.tree.leaves(tables):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                break
+        t = jax.device_get(tables)
+        b = t["valid"].shape[0]
+        per_page: list[list[RotatedRect]] = []
+        for i in range(b):
+            words: list[RotatedRect] = []
+            for j in np.nonzero(t["valid"][i])[0]:
+                rect = RotatedRect(
+                    (float(t["cx"][i][j]), float(t["cy"][i][j])),
+                    (float(t["ux"][i][j]), float(t["uy"][i][j])),
+                    float(t["w"][i][j]),
+                    float(t["h"][i][j]),
+                )
+                scaled = _scale_rotated_rect(rect, sx, sy)
+                scaled.resize(
+                    scaled.width + 2.0 * EXPAND_DIST,
+                    scaled.height + 2.0 * EXPAND_DIST,
+                )
+                if scaled.area() >= self._params.min_area:
+                    words.append(scaled)
+            per_page.append(words)
+        return per_page
+
+    # -- recognition ----------------------------------------------------------
+
+    def _recognize_pooled(
+        self, pages_dev: jax.Array, per_page_lines: list[list[list[RotatedRect]]]
+    ) -> list[list[Optional[TextLine]]]:
+        # Build pooled line records tagged (page, line_index).
+        pooled: list[tuple[int, _RecLine]] = []
+        for pg, lines in enumerate(per_page_lines):
+            for li, words in enumerate(lines):
+                poly = line_polygon(words)
+                brs = [w.bounding_rect() for w in words]
+                br = brs[0]
+                for r in brs[1:]:
+                    br = br.union(r)
+                lr = br.integral_bounding_rect()
+                pooled.append(
+                    (
+                        pg,
+                        _RecLine(
+                            index=li,
+                            poly=poly,
+                            rect=lr,
+                            resized_width=resized_line_width(
+                                lr.width, lr.height, self._rec_h
+                            ),
+                        ),
+                    )
+                )
+
+        groups: dict[int, list[tuple[int, _RecLine]]] = {}
+        for item in pooled:
+            groups.setdefault(self._bucket(item[1].resized_width), []).append(item)
+        batches = []
+        for width, group in groups.items():
+            for i in range(0, len(group), self._max_lines):
+                batches.append((width, group[i : i + self._max_lines]))
+
+        inflight = []
+        for group_width, batch in batches:
+            labels = self._run_pooled_batch(pages_dev, batch, group_width)
+            try:
+                labels.copy_to_host_async()
+            except AttributeError:
+                pass
+            inflight.append((group_width, batch, labels))
+
+        per_page_results: list[list[_LineResult]] = [[] for _ in per_page_lines]
+        for group_width, batch, labels_dev in inflight:
+            labels = np.asarray(labels_dev)
+            ctc_input_len = labels.shape[1]
+            for (pg, rl), row in zip(batch, labels):
+                per_page_results[pg].append(
+                    _LineResult(
+                        line=rl,
+                        rec_input_len=group_width,
+                        ctc_input_len=ctc_input_len,
+                        steps=collapse_greedy(row),
+                    )
+                )
+
+        out: list[list[Optional[TextLine]]] = []
+        for results in per_page_results:
+            results.sort(key=lambda r: r.line.index)
+            out.append(_text_lines_from_results(results, self._alphabet))
+        return out
+
+    def _run_pooled_batch(self, pages_dev, batch, group_width):
+        n = len(batch)
+        n_pad = _pad_batch_size(n, self._max_lines)
+
+        def rows(get):
+            vals = [get(rl) for _, rl in batch]
+            vals += [vals[-1]] * (n_pad - n)
+            return np.asarray(vals, dtype=np.float32)
+
+        tops = rows(lambda rl: rl.rect.top)
+        lefts = rows(lambda rl: rl.rect.left)
+        heights = rows(lambda rl: rl.rect.height)
+        widths = rows(lambda rl: rl.rect.width)
+        rwidths = rows(lambda rl: rl.resized_width)
+        page_idx = np.asarray(
+            [pg for pg, _ in batch] + [batch[-1][0]] * (n_pad - n), dtype=np.int32
+        )
+
+        v = MAX_CHAIN_V
+        half = lambda rl: len(rl.poly) // 2
+        chains_t = [pad_chain(rl.poly[: half(rl)], v) for _, rl in batch]
+        chains_b = [pad_chain(rl.poly[half(rl) :][::-1], v) for _, rl in batch]
+        chains_t += [chains_t[-1]] * (n_pad - n)
+        chains_b += [chains_b[-1]] * (n_pad - n)
+
+        crops = extract_line_batch(
+            pages_dev,
+            jnp.asarray(tops),
+            jnp.asarray(lefts),
+            jnp.asarray(heights),
+            jnp.asarray(widths),
+            jnp.asarray(rwidths),
+            jnp.asarray(np.stack(chains_t)),
+            jnp.asarray(np.stack(chains_b)),
+            jnp.asarray(page_idx),
+            out_h=self._rec_h,
+            out_w=group_width,
+        )
+        logprobs = self._rec.run(crops)  # [T, n_pad, C]
+        return greedy_labels(jnp.transpose(logprobs, (1, 0, 2)))[:n]
+
+    # -- entry ------------------------------------------------------------------
+
+    def process(self, pages: np.ndarray) -> list[PageResult]:
+        """Run OCR on a stack of same-sized pages.
+
+        `pages`: [B, H, W] or [B, H, W, C] u8/float numpy array.
+        """
+        imgs = np.asarray(pages)
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        is_u8 = imgs.dtype == np.uint8
+        pages_dev = _normalize_batch(jnp.asarray(imgs), is_u8)  # [B, H, W]
+
+        tables, scale = self._detect_tables(pages_dev)
+        per_page_words = self._tables_to_words(tables, scale)
+        per_page_lines = [find_text_lines(words) for words in per_page_words]
+        per_page_text = self._recognize_pooled(pages_dev, per_page_lines)
+
+        return [
+            PageResult(words=w, lines=l, text_lines=t)
+            for w, l, t in zip(per_page_words, per_page_lines, per_page_text)
+        ]

@@ -376,7 +376,14 @@ class TextRecognizer:
             else None
         )
 
-        results: list[_LineResult] = []
+        # Phase 1: dispatch every batch's device work (extraction + model +
+        # decode reduction) without synchronizing, and start async
+        # device-to-host copies. Phase 2 materializes results. On transports
+        # with high host-sync latency this overlaps the copies of all batches
+        # (the reference gets its overlap from a rayon thread pool instead —
+        # recognition.rs:464-467).
+        greedy = isinstance(opts.decode_method, Greedy)
+        inflight = []
         for group_width, batch in batches:
             if opts.debug:
                 print(f"Processing group of {len(batch)} lines of width {group_width}")
@@ -394,16 +401,23 @@ class TextRecognizer:
                 onehot[excluded[excluded < n_classes]] = True
                 logprobs = mask_excluded(logprobs, jnp.asarray(onehot))
 
-            if isinstance(opts.decode_method, Greedy):
-                labels = np.asarray(greedy_labels(logprobs))  # [N, T]
-                decoded = [collapse_greedy(labels[i]) for i in range(len(batch))]
+            out = greedy_labels(logprobs) if greedy else logprobs
+            try:
+                out.copy_to_host_async()
+            except AttributeError:  # older jax Array without async copy
+                pass
+            inflight.append((group_width, batch, ctc_input_len, out))
+
+        results: list[_LineResult] = []
+        for group_width, batch, ctc_input_len, out in inflight:
+            host = np.asarray(out)
+            if greedy:
+                decoded = [collapse_greedy(host[i]) for i in range(len(batch))]
             else:
-                lp_host = np.asarray(logprobs)
                 decoded = [
-                    beam_decode(lp_host[i], opts.decode_method.width)
+                    beam_decode(host[i], opts.decode_method.width)
                     for i in range(len(batch))
                 ]
-
             for rl, steps in zip(batch, decoded):
                 results.append(
                     _LineResult(
