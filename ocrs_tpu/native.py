@@ -1,0 +1,177 @@
+"""Loader for the native host-kernel library (native/ocrs_native.cpp).
+
+Builds the shared library with g++ on first use (cached in ``_build/``) and
+exposes typed ctypes wrappers. Every entry point has a pure-Python/numpy
+fallback in :mod:`ocrs_tpu.layout` / :mod:`ocrs_tpu.ops.ctc`; callers check
+:func:`available` and fall back gracefully, so environments without a C++
+toolchain lose only speed, not functionality.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+_SRC = _REPO_ROOT / "native" / "ocrs_native.cpp"
+_BUILD_DIR = _REPO_ROOT / "_build"
+_LIB_PATH = _BUILD_DIR / "libocrs_native.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    if not _SRC.exists():
+        return False
+    _BUILD_DIR.mkdir(exist_ok=True)
+    cmd = [
+        "g++",
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        str(_SRC),
+        "-o",
+        str(_LIB_PATH),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("OCRS_TPU_NO_NATIVE"):
+            return None
+        src_mtime = _SRC.stat().st_mtime if _SRC.exists() else 0
+        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+
+        lib.oc_find_separators.restype = ctypes.c_int
+        lib.oc_find_separators.argtypes = [
+            _F64,
+            ctypes.c_int,
+            _F64,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_int,
+            _F64,
+        ]
+        lib.oc_group_lines.restype = ctypes.c_int
+        lib.oc_group_lines.argtypes = [
+            _F64,
+            ctypes.c_int,
+            _F64,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            _I32,
+            _I32,
+        ]
+        lib.oc_ctc_collapse.restype = None
+        lib.oc_ctc_collapse.argtypes = [
+            _I32,
+            ctypes.c_int,
+            ctypes.c_int,
+            _I32,
+            _I32,
+            _I32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def find_separators(
+    obs_sorted: np.ndarray,
+    boundary: tuple[float, float, float, float],
+    min_w: float,
+    min_h: float,
+    iou_thresh: float,
+    max_out: int,
+) -> Optional[np.ndarray]:
+    """C++ max-empty-rects; returns (n, 4) tlbr array or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    obs = np.ascontiguousarray(obs_sorted, dtype=np.float64).reshape(-1, 4)
+    out = np.empty((max_out, 4), dtype=np.float64)
+    n = lib.oc_find_separators(
+        obs,
+        obs.shape[0],
+        np.asarray(boundary, dtype=np.float64),
+        float(min_w),
+        float(min_h),
+        float(iou_thresh),
+        int(max_out),
+        out,
+    )
+    return out[:n]
+
+
+def group_lines(
+    feat: np.ndarray,
+    seps: np.ndarray,
+    overlap_threshold: float,
+    max_h_overlap: float,
+) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+    """C++ greedy line chaining; returns (line_id, rank, n_lines) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    feat = np.ascontiguousarray(feat, dtype=np.float64)
+    seps = np.ascontiguousarray(seps, dtype=np.float64).reshape(-1, 4)
+    n = feat.shape[0]
+    out_line = np.empty(n, dtype=np.int32)
+    out_rank = np.empty(n, dtype=np.int32)
+    n_lines = lib.oc_group_lines(
+        feat,
+        n,
+        seps,
+        seps.shape[0],
+        float(overlap_threshold),
+        float(max_h_overlap),
+        out_line,
+        out_rank,
+    )
+    return out_line, out_rank, n_lines
+
+
+def ctc_collapse_batch(labels: np.ndarray) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ batch greedy CTC collapse; returns (pos, lab, counts) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    n, t = labels.shape
+    out_pos = np.empty((n, t), dtype=np.int32)
+    out_lab = np.empty((n, t), dtype=np.int32)
+    out_count = np.empty(n, dtype=np.int32)
+    lib.oc_ctc_collapse(labels, n, t, out_pos, out_lab, out_count)
+    return out_pos, out_lab, out_count

@@ -43,6 +43,22 @@ def mask_excluded(logprobs: jax.Array, excluded_onehot: jax.Array) -> jax.Array:
     return jnp.where(excluded_onehot, -jnp.inf, logprobs)
 
 
+def collapse_greedy_batch(labels: np.ndarray) -> list[list[CtcStep]]:
+    """Collapse a [N, T] batch of per-frame argmax labels (native fast path
+    when available)."""
+    from .. import native
+
+    labels = np.asarray(labels)
+    nat = native.ctc_collapse_batch(labels)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [
+            [CtcStep(pos=int(pos[i, k]), label=int(lab[i, k])) for k in range(counts[i])]
+            for i in range(labels.shape[0])
+        ]
+    return [collapse_greedy(labels[i]) for i in range(labels.shape[0])]
+
+
 def collapse_greedy(labels: np.ndarray) -> list[CtcStep]:
     """Collapse repeats then drop blanks (standard CTC best-path).
 

@@ -38,7 +38,13 @@ _INT_MAX = np.iinfo(np.int32).max
 
 @partial(
     jax.jit,
-    static_argnames=("max_components", "max_points", "coarse_steps", "rounds"),
+    static_argnames=(
+        "max_components",
+        "max_points",
+        "coarse_steps",
+        "rounds",
+        "max_boundary",
+    ),
 )
 def min_area_rects_device(
     labels: jax.Array,
@@ -46,6 +52,7 @@ def min_area_rects_device(
     max_points: int = 512,
     coarse_steps: int = 16,
     rounds: int = 3,
+    max_boundary: int = 131072,
 ):
     """Fit oriented min-area rects to each labelled component.
 
@@ -72,12 +79,19 @@ def min_area_rects_device(
     )
     boundary = mask & ~interior
 
+    # Compact boundary pixels first so the sort runs over ~perimeter-many
+    # keys instead of H*W (mask-sized argsorts dominate otherwise). Pages
+    # with more than `max_boundary` boundary pixels lose the tail components
+    # (far beyond any real text mask at detector resolution).
     flat = jnp.where(boundary, labels, _INT_MAX).reshape(-1)
-    p = flat.shape[0]
-    order = jnp.argsort(flat)  # stable: groups components, background last
-    slab = flat[order]
-    xs_sorted = (order % w).astype(jnp.float32)
-    ys_sorted = (order // w).astype(jnp.float32)
+    (bidx,) = jnp.nonzero(flat != _INT_MAX, size=max_boundary, fill_value=-1)
+    blab = jnp.where(bidx >= 0, flat[jnp.maximum(bidx, 0)], _INT_MAX)
+    p = max_boundary
+    order_b = jnp.argsort(blab)  # stable: groups components, padding last
+    slab = blab[order_b]
+    src = jnp.maximum(bidx[order_b], 0)
+    xs_sorted = (src % w).astype(jnp.float32)
+    ys_sorted = (src // w).astype(jnp.float32)
 
     pos = jnp.arange(p, dtype=jnp.int32)
     valid_pt = slab != _INT_MAX

@@ -35,7 +35,7 @@ from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_device
-from ..ops.ctc import collapse_greedy, greedy_labels
+from ..ops.ctc import collapse_greedy_batch, greedy_labels
 from ..ops.rects import min_area_rects_device, rect_table_to_host
 from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch, pad_chain
@@ -146,7 +146,7 @@ class PagePipeline:
         alphabet: str,
         detector_params: TextDetectorParams = TextDetectorParams(),
         width_bucket: Optional[Callable[[int], int]] = None,
-        max_lines_per_batch: int = 64,
+        max_lines_per_batch: int = 128,
         max_components: int = 1024,
     ):
         self._det = detection_model
@@ -257,13 +257,14 @@ class PagePipeline:
         for group_width, batch, labels_dev in inflight:
             labels = np.asarray(labels_dev)
             ctc_input_len = labels.shape[1]
-            for (pg, rl), row in zip(batch, labels):
+            decoded = collapse_greedy_batch(labels)
+            for (pg, rl), steps in zip(batch, decoded):
                 per_page_results[pg].append(
                     _LineResult(
                         line=rl,
                         rec_input_len=group_width,
                         ctc_input_len=ctc_input_len,
-                        steps=collapse_greedy(row),
+                        steps=steps,
                     )
                 )
 
@@ -326,7 +327,11 @@ class PagePipeline:
             imgs = imgs[..., None]
         is_u8 = imgs.dtype == np.uint8
         pages_dev = _normalize_batch(jnp.asarray(imgs), is_u8)  # [B, H, W]
+        return self.process_normalized(pages_dev)
 
+    def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:
+        """Run OCR on pages already normalized and resident in HBM
+        ([B, H, W] float32 in [-0.5, 0.5])."""
         tables, scale = self._detect_tables(pages_dev)
         per_page_words = self._tables_to_words(tables, scale)
         per_page_lines = [find_text_lines(words) for words in per_page_words]

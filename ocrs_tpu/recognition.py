@@ -46,7 +46,13 @@ from .geometry import (
     rightmost_edge,
 )
 from .models.protocol import Model, fixed_height_or
-from .ops.ctc import CtcStep, beam_decode, collapse_greedy, greedy_labels, mask_excluded
+from .ops.ctc import (
+    CtcStep,
+    beam_decode,
+    collapse_greedy_batch,
+    greedy_labels,
+    mask_excluded,
+)
 from .ops.resize import _interp_matrix
 from .ops.warp import extract_line_batch, pad_chain
 from .preprocess import BLACK_VALUE
@@ -119,6 +125,60 @@ def line_polygon(words: Sequence[RotatedRect]) -> np.ndarray:
     return np.array(top + bottom_r_to_l, dtype=np.int64)
 
 
+def _round_half_away(y: np.ndarray) -> np.ndarray:
+    """Round half away from zero (Rust f32::round), not banker's rounding."""
+    return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+
+def polygon_slice_bounding_rects(
+    poly: np.ndarray, ranges: np.ndarray
+) -> list[Optional[Rect]]:
+    """Vectorized :func:`polygon_slice_bounding_rect` for all character
+    ranges of a line at once. `ranges` is (C, 2) [min_x, max_x]; returns a
+    Rect (or None) per range. Semantics match recognition.rs:162-193."""
+    n = len(poly)
+    if n == 0 or len(ranges) == 0:
+        return [None] * len(ranges)
+    p1 = poly.astype(np.float64)
+    p2 = np.roll(p1, -1, axis=0)
+    # rightwards(): endpoints ordered by increasing x.
+    swap = p1[:, 0] > p2[:, 0]
+    x1 = np.where(swap, p2[:, 0], p1[:, 0])[None, :]  # (1, E)
+    y1 = np.where(swap, p2[:, 1], p1[:, 1])[None, :]
+    x2 = np.where(swap, p1[:, 0], p2[:, 0])[None, :]
+    y2 = np.where(swap, p1[:, 1], p2[:, 1])[None, :]
+
+    mn = ranges[:, 0:1].astype(np.float64)  # (C, 1)
+    mx = ranges[:, 1:2].astype(np.float64)
+    keep = ~(((x1 < mn) & (x2 < mn)) | ((x1 > mx) & (x2 > mx)))  # (C, E)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = (y2 - y1) / (x2 - x1)
+    nonvert = x1 != x2
+
+    def truncate(xq, x_dflt, y_dflt):
+        valid = nonvert & (xq >= x1) & (xq <= x2)
+        yq = _round_half_away(y1 + (xq - x1) * slope)
+        return (
+            np.where(valid, np.broadcast_to(xq, valid.shape), x_dflt),
+            np.where(valid, yq, y_dflt),
+        )
+
+    sx, sy = truncate(mn, x1, y1)
+    ex, ey = truncate(mx, x2, y2)
+
+    big = np.inf
+    top = np.where(keep, np.minimum(sy, ey), big).min(axis=1)
+    left = np.where(keep, np.minimum(sx, ex), big).min(axis=1)
+    bottom = np.where(keep, np.maximum(sy, ey), -big).max(axis=1)
+    right = np.where(keep, np.maximum(sx, ex), -big).max(axis=1)
+    any_edge = keep.any(axis=1)
+    return [
+        Rect.from_tlbr(top[c], left[c], bottom[c], right[c]) if any_edge[c] else None
+        for c in range(len(ranges))
+    ]
+
+
 def polygon_slice_bounding_rect(
     poly: np.ndarray, min_x: float, max_x: float
 ) -> Optional[Rect]:
@@ -133,9 +193,17 @@ def polygon_slice_bounding_rect(
         ):
             continue
         y_min = e.y_for_x(float(min_x))
-        start = (min_x, round(y_min)) if y_min is not None else (e.start[0], e.start[1])
+        start = (
+            (min_x, float(_round_half_away(np.float64(y_min))))
+            if y_min is not None
+            else (e.start[0], e.start[1])
+        )
         y_max = e.y_for_x(float(max_x))
-        end = (max_x, round(y_max)) if y_max is not None else (e.end[0], e.end[1])
+        end = (
+            (max_x, float(_round_half_away(np.float64(y_max))))
+            if y_max is not None
+            else (e.end[0], e.end[1])
+        )
         edge_br = Line.from_endpoints(start, end).bounding_rect()
         out = edge_br if out is None else out.union(edge_br)
     return out
@@ -412,7 +480,7 @@ class TextRecognizer:
         for group_width, batch, ctc_input_len, out in inflight:
             host = np.asarray(out)
             if greedy:
-                decoded = [collapse_greedy(host[i]) for i in range(len(batch))]
+                decoded = collapse_greedy_batch(host[: len(batch)])
             else:
                 decoded = [
                     beam_decode(host[i], opts.decode_method.width)
@@ -487,25 +555,28 @@ def _text_lines_from_results(results: list[_LineResult], alphabet: str):
         x_scale = float(line_rect.width) / float(result.line.resized_width)
         downsample = round(result.rec_input_len / result.ctc_input_len)
 
-        chars: list[TextChar] = []
         steps = result.steps
-        for i, step in enumerate(steps):
-            start_x = step.pos * downsample
-            end_x = (
-                steps[i + 1].pos * downsample
-                if i + 1 < len(steps)
-                else result.line.resized_width
-            )
-            start_x = int(line_rect.left + start_x * x_scale)
-            end_x = int(line_rect.left + end_x * x_scale)
-            # Characters predicted in the padding region are dropped
-            # (recognition.rs:271-276).
-            if start_x >= line_rect.right:
-                continue
+        if not steps:
+            out.append(None)
+            continue
+        pos = np.array([s.pos for s in steps], dtype=np.float64) * downsample
+        end = np.concatenate([pos[1:], [float(result.line.resized_width)]])
+        # nb. the reference truncates (x * scale) BEFORE adding the (integer)
+        # rect left (recognition.rs:264-265) — matters for negative lefts.
+        start_x = int(line_rect.left) + np.trunc(pos * x_scale).astype(np.int64)
+        end_x = int(line_rect.left) + np.trunc(end * x_scale).astype(np.int64)
+        # Characters predicted in the padding region are dropped
+        # (recognition.rs:271-276).
+        in_bounds = start_x < line_rect.right
+        ranges = np.stack([start_x, end_x], axis=1)[in_bounds]
+        rects = polygon_slice_bounding_rects(result.line.poly, ranges)
+
+        chars: list[TextChar] = []
+        kept = [s for s, ok in zip(steps, in_bounds) if ok]
+        for step, rect in zip(kept, rects):
+            assert rect is not None, "invalid X coords"
             label_idx = step.label - 1
             ch = alphabet[label_idx] if 0 <= label_idx < len(alphabet) else "?"
-            rect = polygon_slice_bounding_rect(result.line.poly, start_x, end_x)
-            assert rect is not None, "invalid X coords"
             chars.append(TextChar(char=ch, rect=rect))
 
         out.append(TextLine(chars) if chars else None)
