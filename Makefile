@@ -1,0 +1,36 @@
+# Developer entry points (mirrors the reference's Makefile targets: build,
+# test, lint, e2e — adapted to the Python/JAX toolchain).
+
+PYTHON ?= python
+# Disable the TPU relay shim for CPU-only targets so a wedged relay can't
+# hang interpreter startup; tests force the CPU backend in tests/conftest.py.
+CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+
+.PHONY: all native test test-e2e bench lint clean
+
+all: native test
+
+native: _build/libocrs_native.so
+
+_build/libocrs_native.so: native/ocrs_native.cpp
+	mkdir -p _build
+	g++ -O3 -std=c++17 -shared -fPIC $< -o $@
+
+test: native
+	$(CPU_ENV) $(PYTHON) -m pytest tests/ -x -q
+
+test-e2e: native
+	$(CPU_ENV) $(PYTHON) tools/test_e2e.py
+
+update-golden:
+	$(CPU_ENV) $(PYTHON) tools/gen_golden.py
+	$(CPU_ENV) $(PYTHON) tools/test_e2e.py --update
+
+bench: native
+	$(PYTHON) bench.py
+
+lint:
+	$(PYTHON) -m compileall -q ocrs_tpu tools bench.py __graft_entry__.py
+
+clean:
+	rm -rf _build __pycache__ ocrs_tpu/__pycache__ tests/__pycache__

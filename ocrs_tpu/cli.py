@@ -42,6 +42,20 @@ def _read_image(path: str) -> np.ndarray:
     return np.asarray(img)
 
 
+def _read_clipboard_image() -> np.ndarray:
+    """Read an image from the system clipboard (main.rs:312-364). Errors
+    gracefully in headless environments."""
+    try:
+        from PIL import ImageGrab
+
+        img = ImageGrab.grabclipboard()
+    except Exception as exc:  # pragma: no cover - environment dependent
+        raise SystemExit(f"error: clipboard unavailable: {exc}")
+    if img is None:
+        raise SystemExit("error: no image in clipboard")
+    return np.asarray(img.convert("RGB"))
+
+
 def _save_grey_png(path: Path, arr01: np.ndarray) -> None:
     from PIL import Image
 
@@ -53,12 +67,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="ocrs-tpu",
         description="Extract text from images (TPU-native ocrs).",
     )
-    p.add_argument("image", help="Image path, or '-' to read from stdin")
-    p.add_argument("--json", action="store_true", help="Output JSON (HierText-style)")
-    p.add_argument("--png", action="store_true", help="Output annotated PNG")
+    p.add_argument(
+        "image", nargs="?", default=None, help="Image path; omit or use '-' to read from stdin"
+    )
+    p.add_argument("-j", "--json", action="store_true", help="Output JSON (HierText-style)")
+    p.add_argument("-p", "--png", action="store_true", help="Output annotated PNG")
     p.add_argument("-o", "--output", default=None, help="Output file (default stdout)")
     p.add_argument("--beam", action="store_true", help="Use beam search decoding (width 100)")
-    p.add_argument("--alphabet", default=None, help="Override recognition alphabet")
+    p.add_argument(
+        "-c", "--clipboard", action="store_true", help="Read image from system clipboard"
+    )
+    p.add_argument("-a", "--alphabet", default=None, help="Override recognition alphabet")
     p.add_argument(
         "--allowed-chars", default=None, help="Restrict recognized output to these characters"
     )
@@ -75,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Use randomly-initialized models (pipeline smoke test)",
     )
+    p.add_argument(
+        "--fake-models",
+        action="store_true",
+        help=argparse.SUPPRESS,  # deterministic test models for golden E2E tests
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -84,6 +108,14 @@ def _load_models(args):
     from .models.recognition_net import RecognitionModel
     from .models.weights import fetch_model, load_params
 
+    if args.fake_models:
+        from .engine import DEFAULT_ALPHABET
+        from .models.fakes import FakeDetectionModel, FakeRecognitionModel
+
+        if args.alphabet is None:
+            # The fake recognizer has 64 classes = blank + 63 alphabet chars.
+            args.alphabet = DEFAULT_ALPHABET[:63]
+        return FakeDetectionModel(), FakeRecognitionModel()
     if args.random_weights:
         return DetectionModel.create(0), RecognitionModel.create(0)
 
@@ -115,7 +147,15 @@ def main(argv=None) -> int:
 
     det, rec = _load_models(args)
 
-    image = _read_image(args.image)
+    if args.clipboard:
+        if args.image is not None:
+            raise SystemExit("error: cannot use both --clipboard and an image path")
+        image = _read_clipboard_image()
+    else:
+        src = args.image if args.image is not None else "-"
+        if src == "-" and sys.stdin.isatty():
+            raise SystemExit("error: no image path given and stdin is not a pipe")
+        image = _read_image(src)
     h, w = image.shape[:2]
     engine = OcrEngine(
         OcrEngineParams(

@@ -148,7 +148,12 @@ class PagePipeline:
         width_bucket: Optional[Callable[[int], int]] = None,
         max_lines_per_batch: int = 128,
         max_components: int = 1024,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a "data" axis. When given,
+        the page batch is sharded over it and every jitted stage runs SPMD
+        across the mesh's devices (data parallelism over pages)."""
+        self._mesh = mesh
         self._det = detection_model
         self._rec = recognition_model
         self._alphabet = alphabet
@@ -326,7 +331,12 @@ class PagePipeline:
         if imgs.ndim == 3:
             imgs = imgs[..., None]
         is_u8 = imgs.dtype == np.uint8
-        pages_dev = _normalize_batch(jnp.asarray(imgs), is_u8)  # [B, H, W]
+        arr = jnp.asarray(imgs)
+        if self._mesh is not None:
+            from .sharding import shard_batch_dim
+
+            arr = shard_batch_dim(self._mesh, arr)
+        pages_dev = _normalize_batch(arr, is_u8)  # [B, H, W]
         return self.process_normalized(pages_dev)
 
     def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:

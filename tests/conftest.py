@@ -8,7 +8,10 @@ see SURVEY.md §4). This must run before `jax` is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment selects a TPU backend (the driver env
+# sets JAX_PLATFORMS=axon globally) — unit tests must not depend on TPU
+# availability or pay relay latency.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -94,6 +94,7 @@ def test_cli_end_to_end(tmp_path):
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""  # keep a wedged TPU relay from hanging startup
     # Small random models would still pad to the full default detector input;
     # keep runtime low by running on the tiny image directly.
     result = subprocess.run(
@@ -115,6 +116,7 @@ def test_cli_missing_models():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
     result = subprocess.run(
         [sys.executable, "-m", "ocrs_tpu.cli", "x.png"],
         capture_output=True,
