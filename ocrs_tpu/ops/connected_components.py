@@ -76,10 +76,10 @@ def _propagate_once(labels: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, out, big)
 
 
-def _row_scan_min(labels: jax.Array, mask: jax.Array) -> jax.Array:
-    """Propagate min labels along rows within contiguous runs of mask, both
-    directions. Implemented as an associative scan so a full row propagates
-    in O(log W) steps instead of W."""
+def _run_scan_min(labels: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
+    """Propagate min labels along `axis` within contiguous runs of mask, both
+    directions. Implemented as an associative scan so a full run propagates
+    in O(log N) steps instead of N."""
 
     # Segmented min-scan: each element is (label, blocked). A background cell
     # is a segment boundary (blocked=1); min labels flow only within runs.
@@ -98,21 +98,24 @@ def _row_scan_min(labels: jax.Array, mask: jax.Array) -> jax.Array:
     big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
     blocked = (~mask).astype(jnp.int32)
 
-    fwd, _ = jax.lax.associative_scan(combine_fwd, (labels, blocked), axis=1)
-    rev, _ = jax.lax.associative_scan(combine_rev, (labels, blocked), axis=1, reverse=True)
+    fwd, _ = jax.lax.associative_scan(combine_fwd, (labels, blocked), axis=axis)
+    rev, _ = jax.lax.associative_scan(
+        combine_rev, (labels, blocked), axis=axis, reverse=True
+    )
     out = jnp.minimum(fwd, rev)
     return jnp.where(mask, out, big)
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
-def label_components_device(mask: jax.Array, num_iters: int = 24) -> jax.Array:
+@partial(jax.jit, static_argnames=("max_iters",))
+def label_components_device(mask: jax.Array, max_iters: int = 64) -> jax.Array:
     """8-connected CCL on device via min-label propagation.
 
-    Each iteration does one 8-neighbour relaxation followed by a full-row
-    associative-scan sweep, so labels cross an entire horizontal run per
-    iteration. Text components are short and fat, which makes the row sweep
-    the long axis; `num_iters` bounds the number of vertical zig-zags a
-    component may have (24 covers pathological shapes at page scale).
+    Each iteration does one 8-neighbour relaxation followed by full-row and
+    full-column associative-scan sweeps, so labels cross an entire
+    horizontal AND vertical run per iteration — convex-ish components (text
+    blobs, rotated word boxes) converge in a handful of iterations. The loop
+    exits as soon as a sweep changes nothing; `max_iters` bounds worst-case
+    serpentine shapes.
 
     Returns int32 labels where background = -1 and each component is
     labelled by the smallest linear index of its pixels.
@@ -126,12 +129,24 @@ def label_components_device(mask: jax.Array, num_iters: int = 24) -> jax.Array:
     )
     labels = jnp.where(mask, lin, big)
 
-    def body(_, lab):
+    def sweep(lab):
         lab = _propagate_once(lab, mask)
-        lab = _row_scan_min(lab, mask)
+        lab = _run_scan_min(lab, mask, axis=1)
+        lab = _run_scan_min(lab, mask, axis=0)
         return lab
 
-    labels = jax.lax.fori_loop(0, num_iters, body, labels)
+    def cond(state):
+        i, lab, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, lab, _ = state
+        new = sweep(lab)
+        return i + 1, new, jnp.any(new != lab)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), sweep(labels), jnp.bool_(True))
+    )
     return jnp.where(mask, labels, -1)
 
 

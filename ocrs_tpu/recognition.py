@@ -158,7 +158,8 @@ def polygon_slice_bounding_rects(
 
     def truncate(xq, x_dflt, y_dflt):
         valid = nonvert & (xq >= x1) & (xq <= x2)
-        yq = _round_half_away(y1 + (xq - x1) * slope)
+        with np.errstate(invalid="ignore"):
+            yq = _round_half_away(y1 + (xq - x1) * np.where(nonvert, slope, 0.0))
         return (
             np.where(valid, np.broadcast_to(xq, valid.shape), x_dflt),
             np.where(valid, yq, y_dflt),

@@ -1,0 +1,159 @@
+"""Embedding / serving API — the L5 surface.
+
+The reference exposes its engine to browsers through a wasm-bindgen JS API
+(ocrs/src/wasm_api.rs:11-367) whose role is *embedding the engine in another
+runtime* with detection and recognition independently callable (the Chrome
+extension recognizes lazily — ocrs-extension/src/background.ts:196-211). The
+TPU-native counterpart of that role is an in-process session API plus an
+optional HTTP server for out-of-process callers.
+
+Method parity with the wasm API:
+
+  * ``OcrSession.load_image``      <- ``OcrEngine.loadImage`` (wasm_api.rs:116-123)
+  * ``OcrSession.detect_text``     <- ``detectText`` (wasm_api.rs:130-148):
+    detection + line finding fused, returns line handles with word rects.
+  * ``OcrSession.recognize_text``  <- ``recognizeText`` (wasm_api.rs:155-180):
+    recognize a subset of previously detected lines (lazy recognition).
+  * ``OcrSession.get_text``        <- ``getText`` (wasm_api.rs:186-190)
+  * ``OcrSession.get_text_lines``  <- ``getTextLines`` (wasm_api.rs:197-214)
+
+The HTTP layer (:func:`serve`) is a thin stdlib wrapper: POST /ocr with an
+image body returns the JSON document, GET /healthz reports device status.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .engine import OcrEngine, OcrInput
+from .geometry import RotatedRect
+from .output import FormatJsonArgs, format_json_output
+from .preprocess import DimOrder, ImageSource
+from .text_items import TextLine
+
+
+@dataclass
+class DetectedLine:
+    """A detected-but-not-yet-recognized line (wasm_api.rs ``DetectedLine``)."""
+
+    index: int
+    words: list[RotatedRect]
+
+
+class OcrSession:
+    """Stateful wrapper holding one prepared image, mirroring the wasm
+    ``OcrEngine`` object lifecycle (wasm_api.rs:94-214)."""
+
+    def __init__(self, engine: OcrEngine):
+        self._engine = engine
+        self._input: Optional[OcrInput] = None
+        self._lines: Optional[list[DetectedLine]] = None
+
+    def load_image(self, image: np.ndarray) -> None:
+        """HWC u8/float array -> prepared, device-resident input."""
+        self._input = self._engine.prepare_input(
+            ImageSource.from_tensor(np.asarray(image), DimOrder.HWC)
+        )
+        self._lines = None
+
+    def detect_text(self) -> list[DetectedLine]:
+        """Detect words and group into lines (wasm_api.rs:130-148)."""
+        if self._input is None:
+            raise RuntimeError("no image loaded")
+        words = self._engine.detect_words(self._input)
+        lines = self._engine.find_text_lines(self._input, words)
+        self._lines = [DetectedLine(i, list(l)) for i, l in enumerate(lines)]
+        return self._lines
+
+    def recognize_text(
+        self, lines: Sequence[DetectedLine]
+    ) -> list[Optional[TextLine]]:
+        """Recognize a subset of detected lines — supports the extension's
+        lazy/eager hybrid pattern (background.ts:373-466)."""
+        if self._input is None:
+            raise RuntimeError("no image loaded")
+        return self._engine.recognize_text(self._input, [l.words for l in lines])
+
+    def get_text_lines(self) -> list[Optional[TextLine]]:
+        if self._lines is None:
+            self.detect_text()
+        return self.recognize_text(self._lines)
+
+    def get_text(self) -> str:
+        return "\n".join(str(l) for l in self.get_text_lines() if l is not None)
+
+
+def make_handler(engine: OcrEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                import jax
+
+                body = json.dumps(
+                    {"status": "ok", "devices": [str(d) for d in jax.devices()]}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            if self.path not in ("/ocr", "/ocr/text"):
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            data = self.rfile.read(length)
+            try:
+                from PIL import Image
+
+                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+                session = OcrSession(engine)
+                session.load_image(img)
+                text_lines = session.get_text_lines()
+                if self.path == "/ocr/text":
+                    body = "\n".join(
+                        str(l) for l in text_lines if l is not None
+                    ).encode()
+                    ctype = "text/plain; charset=utf-8"
+                else:
+                    body = format_json_output(
+                        FormatJsonArgs(
+                            input_path="<request>",
+                            input_hw=(img.shape[0], img.shape[1]),
+                            text_lines=text_lines,
+                        )
+                    ).encode()
+                    ctype = "application/json"
+            except Exception as exc:  # noqa: BLE001 - report to client
+                self.send_response(400)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                self.wfile.write(f"error: {exc}".encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+    return Handler
+
+
+def serve(engine: OcrEngine, host: str = "127.0.0.1", port: int = 8765) -> ThreadingHTTPServer:
+    """Start the HTTP server in a background thread; returns the server
+    (call ``.shutdown()`` to stop)."""
+    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server

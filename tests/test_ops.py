@@ -1,0 +1,226 @@
+"""Unit tests for the device ops against host oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ocrs_tpu.geometry import Rect, RotatedRect
+from ocrs_tpu.ops.connected_components import (
+    compact_labels_host,
+    label_components_device,
+    label_components_host,
+)
+from ocrs_tpu.ops.ctc import CtcStep, beam_decode, collapse_greedy, collapse_greedy_batch
+from ocrs_tpu.ops.rects import rects_from_mask_device
+from ocrs_tpu.ops.resize import resize_bilinear
+from ocrs_tpu.ops.warp import extract_line_batch, pad_chain
+from ocrs_tpu.preprocess import BLACK_VALUE
+from ocrs_tpu.recognition import line_polygon, prepare_text_line_host
+
+
+# ---------------------------------------------------------------------------
+# resize
+# ---------------------------------------------------------------------------
+
+
+def test_resize_bilinear_identity_and_scale():
+    img = jnp.arange(24, dtype=jnp.float32).reshape(4, 6)
+    out = resize_bilinear(img, (4, 6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img))
+    up = resize_bilinear(img, (8, 12))
+    assert up.shape == (8, 12)
+    # Half-pixel convention: corners map near original corner values.
+    assert abs(float(up[0, 0]) - 0.0) < 1.0
+    assert abs(float(up[-1, -1]) - 23.0) < 1.0
+
+
+def test_resize_matches_manual_half_pixel():
+    rng = np.random.default_rng(0)
+    img = rng.random((5, 7)).astype(np.float32)
+    out = np.asarray(resize_bilinear(jnp.asarray(img), (3, 4)))
+
+    def sample(y, x):
+        sy = (y + 0.5) * 5 / 3 - 0.5
+        sx = (x + 0.5) * 7 / 4 - 0.5
+        y0 = int(np.floor(sy)); x0 = int(np.floor(sx))
+        fy = sy - y0; fx = sx - x0
+        y0c = np.clip([y0, y0 + 1], 0, 4); x0c = np.clip([x0, x0 + 1], 0, 6)
+        return (
+            img[y0c[0], x0c[0]] * (1 - fy) * (1 - fx)
+            + img[y0c[0], x0c[1]] * (1 - fy) * fx
+            + img[y0c[1], x0c[0]] * fy * (1 - fx)
+            + img[y0c[1], x0c[1]] * fy * fx
+        )
+
+    manual = np.array([[sample(y, x) for x in range(4)] for y in range(3)])
+    np.testing.assert_allclose(out, manual, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+
+def _random_blob_mask(seed, hw=(64, 96), n_blobs=6):
+    rng = np.random.default_rng(seed)
+    mask = np.zeros(hw, dtype=bool)
+    for _ in range(n_blobs):
+        y = rng.integers(0, hw[0] - 12)
+        x = rng.integers(0, hw[1] - 24)
+        mask[y : y + rng.integers(4, 12), x : x + rng.integers(8, 24)] = True
+    return mask
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_device_ccl_matches_scipy(seed):
+    mask = _random_blob_mask(seed)
+    dev = np.asarray(label_components_device(jnp.asarray(mask)))
+    dev_compact, dev_count = compact_labels_host(dev)
+    host, host_count = label_components_host(mask)
+    assert dev_count == host_count
+    # Same partition: label images must be identical up to renumbering.
+    pairs = set(zip(dev_compact.ravel().tolist(), host.ravel().tolist()))
+    assert len(pairs) == host_count + 1  # bijection incl. background
+
+
+def test_device_ccl_diagonal_connectivity():
+    mask = np.zeros((8, 8), dtype=bool)
+    mask[1, 1] = mask[2, 2] = mask[3, 3] = True  # diagonal chain = 1 component
+    dev = np.asarray(label_components_device(jnp.asarray(mask)))
+    labs = dev[mask]
+    assert (labs == labs[0]).all()
+
+
+def test_device_rects_vs_host_on_rotated_blob():
+    from ocrs_tpu.detection import rects_from_mask_host
+
+    # Rasterize a rotated rectangle.
+    mask = np.zeros((120, 160), dtype=bool)
+    yy, xx = np.mgrid[0:120, 0:160]
+    theta = np.deg2rad(20)
+    u = (xx - 80) * np.cos(theta) + (yy - 60) * np.sin(theta)
+    v = -(xx - 80) * np.sin(theta) + (yy - 60) * np.cos(theta)
+    mask[(np.abs(u) < 40) & (np.abs(v) < 10)] = True
+
+    dev = rects_from_mask_device(jnp.asarray(mask), 0.0, 0.0)
+    host = rects_from_mask_host(mask, 0.0, 0.0)
+    assert len(dev) == len(host) == 1
+    d, h = dev[0], host[0]
+    assert np.allclose(sorted([d.width, d.height]), sorted([h.width, h.height]), atol=0.5)
+    assert np.allclose(d.center, h.center, atol=0.5)
+
+
+# ---------------------------------------------------------------------------
+# warp / line extraction
+# ---------------------------------------------------------------------------
+
+
+def test_extract_line_batch_matches_host_oracle():
+    rng = np.random.default_rng(0)
+    page = rng.random((100, 200)).astype(np.float32) - 0.5
+    words = [
+        RotatedRect.from_rect(Rect.from_tlhw(20, 10, 30, 60)),
+        RotatedRect.from_rect(Rect.from_tlhw(22, 80, 28, 70)),
+    ]
+    poly = line_polygon(words)
+    rect = Rect.from_tlbr(
+        poly[:, 1].min(), poly[:, 0].min(), poly[:, 1].max(), poly[:, 0].max()
+    )
+    out_h, rw = 32, 128
+
+    host = prepare_text_line_host(page[None], poly, rw, out_h)
+
+    half = len(poly) // 2
+    crops = extract_line_batch(
+        jnp.asarray(page),
+        jnp.asarray([rect.top], jnp.float32),
+        jnp.asarray([rect.left], jnp.float32),
+        jnp.asarray([rect.height], jnp.float32),
+        jnp.asarray([rect.width], jnp.float32),
+        jnp.asarray([rw], jnp.float32),
+        jnp.asarray(pad_chain(poly[:half], 16)[None]),
+        jnp.asarray(pad_chain(poly[half:][::-1], 16)[None]),
+        out_h=out_h,
+        out_w=rw,
+    )
+    dev = np.asarray(crops[0, 0])
+    assert dev.shape == host.shape
+    # The device path masks post-resample, the host oracle pre-resample:
+    # interior pixels must match tightly; boundary pixels may differ.
+    diff = np.abs(dev - host)
+    assert np.median(diff) < 1e-3
+    assert (diff < 0.05).mean() > 0.9
+
+
+def test_extract_line_batch_pads_black():
+    page = jnp.zeros((50, 60), jnp.float32)
+    poly = line_polygon([RotatedRect.from_rect(Rect.from_tlhw(0, 0, 50, 60))])
+    half = len(poly) // 2
+    crops = extract_line_batch(
+        page,
+        jnp.asarray([0.0]),
+        jnp.asarray([0.0]),
+        jnp.asarray([50.0]),
+        jnp.asarray([60.0]),
+        jnp.asarray([40.0]),  # resized width < out_w
+        jnp.asarray(pad_chain(poly[:half], 8)[None]),
+        jnp.asarray(pad_chain(poly[half:][::-1], 8)[None]),
+        out_h=32,
+        out_w=64,
+    )
+    out = np.asarray(crops[0, 0])
+    np.testing.assert_allclose(out[:, 40:], BLACK_VALUE)
+
+
+# ---------------------------------------------------------------------------
+# CTC
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_greedy():
+    labels = np.array([0, 3, 3, 0, 3, 5, 5, 0, 0, 1])
+    steps = collapse_greedy(labels)
+    assert [(s.pos, s.label) for s in steps] == [(1, 3), (4, 3), (5, 5), (9, 1)]
+
+
+def test_collapse_greedy_batch_matches_scalar():
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 4, size=(5, 37)).astype(np.int32)
+    batch = collapse_greedy_batch(labels)
+    for i in range(5):
+        assert batch[i] == collapse_greedy(labels[i])
+
+
+def test_beam_decode_matches_greedy_on_peaked_dist():
+    # With near-one-hot probabilities beam search must agree with greedy.
+    t, c = 12, 6
+    rng = np.random.default_rng(1)
+    labels = rng.integers(0, c, size=t)
+    logits = np.full((t, c), -20.0)
+    logits[np.arange(t), labels] = 0.0
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    greedy = collapse_greedy(labels)
+    beam = beam_decode(logprobs, beam_width=8)
+    assert [s.label for s in beam] == [s.label for s in greedy]
+    assert [s.pos for s in beam] == [s.pos for s in greedy]
+
+
+def test_beam_decode_merges_prefixes():
+    # Classic case where beam search beats greedy: the blank-heavy path hides
+    # a higher-probability merged prefix.
+    # p(a at t0)=0.4, p(blank t0)=0.6; p(a t1)=0.4, p(blank t1)=0.6
+    # Greedy decodes "" (blank, blank); total p("a") = 0.4*0.6+0.6*0.4+0.4*0.4
+    # = 0.64 > p("") = 0.36, so beam returns "a".
+    p = np.array([[0.6, 0.4], [0.6, 0.4]])
+    logprobs = np.log(p)
+    greedy = collapse_greedy(np.argmax(p, axis=1))
+    assert greedy == []
+    beam = beam_decode(logprobs, beam_width=4)
+    assert [s.label for s in beam] == [1]
+
+
+def test_beam_decode_excluded():
+    p = np.array([[0.1, 0.5, 0.4], [0.1, 0.5, 0.4]])
+    beam = beam_decode(np.log(p), beam_width=4, excluded=[1])
+    assert [s.label for s in beam] == [2]

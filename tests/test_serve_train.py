@@ -1,0 +1,125 @@
+"""Tests for the serving API and training utilities."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+def _fake_engine():
+    from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+
+    return OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            recognition_model=FakeRecognitionModel(),
+            alphabet=DEFAULT_ALPHABET[:63],
+        )
+    )
+
+
+def _word_image():
+    img = np.zeros((100, 200, 3), dtype=np.float32)
+    img[30:50, 20:90] = 1.0
+    img[30:50, 110:180] = 1.0
+    return img
+
+
+def test_session_lazy_recognition():
+    from ocrs_tpu.serve import OcrSession
+
+    session = OcrSession(_fake_engine())
+    session.load_image(_word_image())
+    detected = session.detect_text()
+    assert len(detected) >= 1
+    # Recognize only the first line (the extension's lazy pattern).
+    result = session.recognize_text(detected[:1])
+    assert len(result) == 1
+    # Full text then covers all lines.
+    assert isinstance(session.get_text(), str)
+
+
+def test_session_requires_image():
+    from ocrs_tpu.serve import OcrSession
+
+    session = OcrSession(_fake_engine())
+    with pytest.raises(RuntimeError):
+        session.detect_text()
+
+
+def test_http_server_roundtrip(tmp_path):
+    import io
+
+    from PIL import Image
+
+    from ocrs_tpu.serve import serve
+
+    server = serve(_fake_engine(), port=0)  # ephemeral port
+    try:
+        port = server.server_address[1]
+        # healthz
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        buf = io.BytesIO()
+        Image.fromarray((_word_image() * 255).astype(np.uint8)).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ocr", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            doc = json.loads(r.read())
+        assert doc["image_height"] == 100 and doc["image_width"] == 200
+        assert "paragraphs" in doc
+
+        # probe: garbage body -> clean 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ocr", data=b"not an image", method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(req, timeout=30)
+        assert exc_info.value.code == 400
+    finally:
+        server.shutdown()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+
+    from ocrs_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from ocrs_tpu.train.train import (
+        init_recognition_state,
+        make_mesh,
+        make_recognition_train_step,
+        shard_batch,
+    )
+
+    mesh = make_mesh(1)
+    opt = optax.adam(1e-3)
+    with mesh:
+        state = init_recognition_state(mesh, opt, n_classes=8, hidden=16)
+        step = make_recognition_train_step(mesh, opt)
+        images = np.zeros((2, 1, 64, 32), np.float32)
+        labels = np.ones((2, 2), np.int32)
+        lengths = np.full((2,), 2, np.int32)
+        state, _ = step(state, *shard_batch(mesh, *map(np.asarray, (images, labels, lengths))))
+
+        path = save_checkpoint(tmp_path, state)
+        assert latest_checkpoint(tmp_path) == path
+
+        fresh = init_recognition_state(mesh, opt, n_classes=8, hidden=16)
+        restored = restore_checkpoint(path, fresh)
+        assert int(restored.step) == int(state.step) == 1
+        import jax
+
+        for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # restored state steps again without error
+        state2, loss = step(restored, *shard_batch(mesh, *map(np.asarray, (images, labels, lengths))))
+        assert np.isfinite(float(loss))
