@@ -93,8 +93,104 @@ PAGE_BATCH = 16
 N_BATCHES = 3
 
 
+def bench_screenshot_latency() -> dict:
+    """Config 1: single 720p screenshot -> plain text; p50 latency."""
+    from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.detection_net import DetectionModel
+    from ocrs_tpu.models.recognition_net import RecognitionModel
+    from ocrs_tpu.preprocess import DimOrder, ImageSource
+
+    h, w = 720, 1280
+    rng = np.random.default_rng(0)
+    img = np.full((h, w), 240, np.uint8)
+    boxes = []
+    for li in range(18):
+        y = 30 + li * 36
+        x = 40
+        for _ in range(10):
+            ww = int(rng.integers(50, 120))
+            if x + ww > w - 40:
+                break
+            img[y : y + 20, x : x + ww] = 30
+            boxes.append((y, x, 20, ww))
+            x += ww + 16
+
+    det_inner = DetectionModel.create(0)
+    mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
+    # 720p is smaller than the detector input in H: pad_bottom = mh - 720, no
+    # W pad, so the page content occupies model rows [0, 720) and all 608
+    # model columns (detection.rs padding semantics).
+    oracle = make_oracle_mask(boxes, (mh, mw), (min(h, mh), mw), (h, w))
+    det = OracleBlendDetectionModel(DetectionModel(det_inner.params, (mh, mw)), oracle)
+    engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=det,
+            recognition_model=RecognitionModel.create(0),
+            detection_postprocess="device",
+            detection_postprocess_resolution="model",
+            max_lines_per_batch=32,
+        )
+    )
+    src = ImageSource.from_tensor(img[..., None], DimOrder.HWC)
+    for _ in range(2):
+        engine.get_text(engine.prepare_input(src))  # warmup
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        engine.get_text(engine.prepare_input(src))
+        times.append(time.perf_counter() - t0)
+    p50 = sorted(times)[len(times) // 2]
+    return {
+        "metric": "p50_latency_720p_screenshot",
+        "value": round(p50 * 1000, 1),
+        "unit": "ms",
+        "vs_baseline": 0.0,  # no published reference number (BASELINE.md)
+    }
+
+
+def bench_line_recognition() -> dict:
+    """Config 4: batch-64 text-line recognition throughput (lines/s)."""
+    import jax.numpy as jnp
+
+    from ocrs_tpu.models.recognition_net import RecognitionModel
+    from ocrs_tpu.ops.ctc import collapse_greedy_batch, greedy_labels
+
+    rec = RecognitionModel.create(0)
+    batch = jnp.zeros((64, 1, 64, 2432), jnp.float32)
+
+    def run():
+        lp = rec.run(batch)
+        labels = greedy_labels(jnp.transpose(lp, (1, 0, 2)))
+        return collapse_greedy_batch(np.asarray(labels))
+
+    run()
+    t0 = time.perf_counter()
+    n_iter = 5
+    for _ in range(n_iter):
+        run()
+    dt = (time.perf_counter() - t0) / n_iter
+    return {
+        "metric": "line_recognition_batch64_w2432",
+        "value": round(64 / dt, 1),
+        "unit": "lines/s",
+        "vs_baseline": 0.0,
+    }
+
+
 def main() -> None:
+    import argparse
     import sys
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=5, choices=[1, 4, 5])
+    args = parser.parse_args()
+
+    if args.config == 1:
+        print(json.dumps(bench_screenshot_latency()))
+        return
+    if args.config == 4:
+        print(json.dumps(bench_line_recognition()))
+        return
 
     from ocrs_tpu.engine import DEFAULT_ALPHABET
     from ocrs_tpu.models.detection_net import DetectionModel

@@ -89,6 +89,8 @@ class TextDetector:
         params: TextDetectorParams = TextDetectorParams(),
         postprocess: Literal["host", "device"] = "host",
         postprocess_resolution: Literal["page", "model"] = "page",
+        tiled: bool = False,
+        tile_overlap: int = 64,
     ):
         """`postprocess_resolution="model"` runs thresholding + connected
         components on the model-resolution probability map and scales the
@@ -103,6 +105,8 @@ class TextDetector:
         self._input_hw = fixed_hw(model.input_shape())
         self._postprocess = postprocess
         self._post_res = postprocess_resolution
+        self._tiled = tiled
+        self._tile_overlap = tile_overlap
 
     @property
     def threshold(self) -> float:
@@ -124,6 +128,8 @@ class TextDetector:
             raise ValueError(f"expected (1, H, W) image, got {image.shape}")
         _, img_h, img_w = image.shape
         in_h, in_w = self._input_hw
+        if self._tiled and (img_h > in_h or img_w > in_w):
+            return self._detect_text_pixels_tiled(image)
         pad_bottom = max(in_h - img_h, 0)
         pad_right = max(in_w - img_w, 0)
         x = _pre(image, input_hw=self._input_hw, pads=(pad_bottom, pad_right))
@@ -132,6 +138,22 @@ class TextDetector:
             probs,
             out_hw=(img_h, img_w),
             crop_hw=(in_h - pad_bottom, in_w - pad_right),
+        )
+
+    def _detect_text_pixels_tiled(self, image: jax.Array) -> jax.Array:
+        """Tiled detection for pages larger than the model input: run the
+        model on overlapping native-resolution tiles and stitch the
+        probability maps with max-blending. Keeps small text detectable on
+        very large (e.g. 4K) images where the single-pass path would
+        downscale it to mush; output coordinates are page-resolution, so the
+        rest of the pipeline is unchanged."""
+        _, img_h, img_w = image.shape
+        offsets = _tile_offsets((img_h, img_w), self._input_hw, self._tile_overlap)
+        return _tiled_probs(
+            image,
+            model=self._model,
+            input_hw=self._input_hw,
+            offsets=offsets,
         )
 
     def detect_words(self, image: jax.Array, debug: bool = False) -> list[RotatedRect]:
@@ -205,6 +227,74 @@ def _pre(image: jax.Array, *, input_hw: tuple[int, int], pads: tuple[int, int]) 
     if x.shape[-2:] != input_hw:
         x = resize_bilinear(x, input_hw)
     return x
+
+
+def _tile_offsets(
+    page_hw: tuple[int, int], tile_hw: tuple[int, int], overlap: int
+) -> tuple[tuple[int, int], ...]:
+    """Top-left offsets of overlapping tiles covering the page; the final
+    row/column is clamped so tiles never run past the edge."""
+    ph, pw = page_hw
+    th, tw = tile_hw
+    step_y = max(th - overlap, 1)
+    step_x = max(tw - overlap, 1)
+    ys = list(range(0, max(ph - th, 0) + 1, step_y))
+    xs = list(range(0, max(pw - tw, 0) + 1, step_x))
+    if ys[-1] + th < ph:
+        ys.append(ph - th)
+    if xs[-1] + tw < pw:
+        xs.append(pw - tw)
+    ys = [min(y, max(ph - th, 0)) for y in ys]
+    xs = [min(x, max(pw - tw, 0)) for x in xs]
+    return tuple((y, x) for y in dict.fromkeys(ys) for x in dict.fromkeys(xs))
+
+
+@partial(jax.jit, static_argnames=("input_hw", "offsets"))
+def _extract_tiles(
+    image: jax.Array, *, input_hw: tuple[int, int], offsets: tuple[tuple[int, int], ...]
+) -> jax.Array:
+    """[1, H, W] page -> [T, 1, th, tw] batch of overlapping tiles."""
+    _, img_h, img_w = image.shape
+    th, tw = input_hw
+    pad_b = max(th - img_h, 0)
+    pad_r = max(tw - img_w, 0)
+    page = image[0]
+    if pad_b or pad_r:
+        page = jnp.pad(page, ((0, pad_b), (0, pad_r)), constant_values=BLACK_VALUE)
+    return jnp.stack([page[y : y + th, x : x + tw] for (y, x) in offsets])[:, None]
+
+
+@partial(jax.jit, static_argnames=("page_hw", "offsets"))
+def _stitch_tiles(
+    probs: jax.Array, *, page_hw: tuple[int, int], offsets: tuple[tuple[int, int], ...]
+) -> jax.Array:
+    """Max-blend [T, 1, th, tw] tile probabilities back onto the page."""
+    img_h, img_w = page_hw
+    t, _, th, tw = probs.shape
+    out = jnp.zeros(
+        (max(img_h, th + max(y for y, _ in offsets)), max(img_w, tw + max(x for _, x in offsets))),
+        probs.dtype,
+    )
+    for i, (y, x) in enumerate(offsets):
+        out = out.at[y : y + th, x : x + tw].max(probs[i, 0])
+    return out[:img_h, :img_w]
+
+
+def _tiled_probs(
+    image: jax.Array,
+    *,
+    model: Model,
+    input_hw: tuple[int, int],
+    offsets: tuple[tuple[int, int], ...],
+) -> jax.Array:
+    """Batch overlapping tiles through the model; stitch with max-blend.
+    The model pass stays the model's own compiled apply (weights remain
+    runtime arguments, not trace constants)."""
+    tiles = _extract_tiles(image, input_hw=input_hw, offsets=offsets)
+    probs = model.run(tiles)
+    return _stitch_tiles(
+        probs, page_hw=(image.shape[1], image.shape[2]), offsets=offsets
+    )
 
 
 @partial(jax.jit, static_argnames=("crop_hw", "threshold"))

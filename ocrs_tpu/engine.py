@@ -59,6 +59,10 @@ class OcrEngineParams:
     #: "page": threshold/CC on the page-resolution mask (reference behaviour).
     #: "model": post-process at model resolution and scale rects (fast path).
     detection_postprocess_resolution: Literal["page", "model"] = "page"
+    #: Tiled detection: run the detector on overlapping native-resolution
+    #: tiles instead of downscaling (keeps small text on 4K+ pages).
+    detection_tiled: bool = False
+    detection_tile_overlap: int = 64
     #: Maps a resized line width to its padded bucket width. None = the
     #: lane-aligned TPU ladder; ``recognition.reference_bucket`` gives the
     #: reference's multiples-of-50 behaviour.
@@ -84,6 +88,8 @@ class OcrEngine:
                 params.detector_params,
                 postprocess=params.detection_postprocess,
                 postprocess_resolution=params.detection_postprocess_resolution,
+                tiled=params.detection_tiled,
+                tile_overlap=params.detection_tile_overlap,
             )
             if params.detection_model is not None
             else None

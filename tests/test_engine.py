@@ -136,3 +136,48 @@ def test_default_alphabet_length():
     assert len(DEFAULT_ALPHABET) == 96
     assert DEFAULT_ALPHABET[0] == " "
     assert "€" in DEFAULT_ALPHABET
+
+
+def test_recognize_with_beam_search():
+    # Same single-char setup as test_recognize_single_char but decoded with
+    # beam search (reference --beam, main.rs:403-407 / DecodeMethod).
+    from ocrs_tpu.recognition import BeamSearch
+
+    image = np.zeros((1, 64, 32), dtype=np.float32)
+    image[:, 2, :] = 1.0
+    engine = OcrEngine(
+        OcrEngineParams(
+            recognition_model=FakeRecognitionModel(),
+            alphabet=make_alphabet(),
+            decode_method=BeamSearch(width=8),
+        )
+    )
+    lines = _run_recognition(engine, image)
+    assert str(lines[0]) == "0"
+
+
+def test_recognize_rotated_line():
+    # A rotated word rect: the line polygon follows the rotation and the
+    # extraction's polygon band mask keeps the rotated region (BASELINE
+    # config 3: rotated-rect line extraction).
+    import math
+
+    from ocrs_tpu.geometry import RotatedRect, point
+
+    image = np.zeros((1, 100, 200), dtype=np.float32)
+    image[:, 40:60, 40:160] = 1.0
+    engine = OcrEngine(
+        OcrEngineParams(
+            recognition_model=FakeRecognitionModel(), alphabet=make_alphabet()
+        )
+    )
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    theta = math.radians(5)
+    up = point(math.sin(theta), -math.cos(theta))
+    line = [RotatedRect(point(100, 50), up, 120, 20)]
+    out = engine.recognize_text(inp, [line])
+    assert len(out) == 1  # decodes without error; chars map into the line
+    if out[0] is not None:
+        br = out[0].bounding_rect()
+        page = Rect.from_hw(100, 200)
+        assert page.intersects(br)
