@@ -147,9 +147,18 @@ def bigru_init(key, cin: int, hidden: int) -> dict:
 
 
 def bigru_apply(params: dict, x: jax.Array) -> jax.Array:
-    """Bidirectional GRU: concatenated forward/backward states [N, T, 2H]."""
-    fwd = gru_apply(params["fwd"], x, reverse=False)
-    bwd = gru_apply(params["bwd"], x, reverse=True)
+    """Bidirectional GRU: concatenated forward/backward states [N, T, 2H].
+
+    On TPU backends the fused Pallas sequence kernel replaces the lax.scan
+    (weights pinned in VMEM across the whole sequence; one grid step per
+    timestep) — see ocrs_tpu.ops.gru_pallas. The scan path remains the
+    reference/fallback and the training path (the Pallas kernel is
+    forward-only)."""
+    from ..ops.gru_pallas import gru_apply_pallas, pallas_available
+
+    apply = gru_apply_pallas if pallas_available() else gru_apply
+    fwd = apply(params["fwd"], x, reverse=False)
+    bwd = apply(params["bwd"], x, reverse=True)
     return jnp.concatenate([fwd, bwd], axis=-1)
 
 

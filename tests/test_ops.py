@@ -224,3 +224,43 @@ def test_beam_decode_excluded():
     p = np.array([[0.1, 0.5, 0.4], [0.1, 0.5, 0.4]])
     beam = beam_decode(np.log(p), beam_width=4, excluded=[1])
     assert [s.label for s in beam] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Pallas GRU (interpret mode on CPU; compiled on TPU)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_gru_matches_scan():
+    import jax
+
+    from ocrs_tpu.models import nn
+    from ocrs_tpu.ops.gru_pallas import gru_apply_pallas
+
+    params = nn.gru_init(jax.random.key(0), 24, 32)
+    x = jax.random.normal(jax.random.key(1), (4, 17, 24), jnp.float32)
+    for reverse in (False, True):
+        ref = nn.gru_apply(params, x, reverse=reverse)
+        pal = gru_apply_pallas(params, x, reverse=reverse, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(pal), atol=1e-6)
+
+
+def test_pallas_gru_gradients_match_scan():
+    import jax
+
+    from ocrs_tpu.models import nn
+    from ocrs_tpu.ops.gru_pallas import gru_apply_pallas
+
+    params = nn.gru_init(jax.random.key(2), 8, 16)
+    x = jax.random.normal(jax.random.key(3), (2, 9, 8), jnp.float32)
+
+    def loss_scan(p):
+        return jnp.sum(nn.gru_apply(p, x) ** 2)
+
+    def loss_pallas(p):
+        return jnp.sum(gru_apply_pallas(p, x, False, True) ** 2)
+
+    g_scan = jax.grad(loss_scan)(params)
+    g_pal = jax.grad(loss_pallas)(params)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
