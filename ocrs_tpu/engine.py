@@ -173,8 +173,22 @@ class OcrEngine:
         return TextDetectorParams().text_threshold
 
     def get_text(self, input: OcrInput) -> str:
-        """Full pipeline: all text in the image as one string (lib.rs:288-300)."""
-        words = self.detect_words(input)
-        lines = self.find_text_lines(input, words)
-        recognized = self.recognize_text(input, lines)
+        """Full pipeline: all text in the image as one string (lib.rs:288-300).
+
+        With ``debug=True`` prints per-stage wall timings (the TPU analog of
+        the reference's per-op timing dump, detection.rs:177-182)."""
+        from .utils.tracing import StageTimer
+
+        timer = StageTimer(debug=self._debug)
+        with timer.stage("detect_words"):
+            words = self.detect_words(input)
+        with timer.stage("find_text_lines"):
+            lines = self.find_text_lines(input, words)
+        with timer.stage("recognize_text"):
+            recognized = self.recognize_text(input, lines)
+        if self._debug:
+            print(
+                f"[ocrs-tpu] {len(words)} words, {len(lines)} lines; "
+                + timer.summary()
+            )
         return "\n".join(str(line) for line in recognized if line is not None)
