@@ -72,23 +72,28 @@ def _segments_intersect_matrix(
 
 class _WordIndex:
     """Struct-of-arrays over word rects for the greedy chaining: centers,
-    leftmost/rightmost edge midpoints and y-intervals."""
+    leftmost/rightmost edge midpoints and y-intervals. Fully vectorized —
+    this runs once per layout call over every word."""
 
     def __init__(self, rects: Sequence[RotatedRect]):
         n = len(rects)
-        # corners: (n, 4, 2)
-        cs = np.empty((n, 4, 2))
-        cx = np.empty(n)
-        cy = np.empty(n)
-        for i, r in enumerate(rects):
-            right = r.right_axis() * (r.width / 2.0)
-            up = r.up * (r.height / 2.0)
-            c = r.center
-            cs[i, 0] = c + right - up
-            cs[i, 1] = c - right - up
-            cs[i, 2] = c - right + up
-            cs[i, 3] = c + right + up
-            cx[i], cy[i] = c
+        centers = np.array([r.center for r in rects]).reshape(n, 2)
+        ups = np.array([r.up for r in rects]).reshape(n, 2)
+        whs = np.array([(r.width, r.height) for r in rects]).reshape(n, 2)
+        rights = np.stack([-ups[:, 1], ups[:, 0]], axis=1)  # rot90(up)
+        rw = rights * (whs[:, 0:1] / 2.0)
+        uh = ups * (whs[:, 1:2] / 2.0)
+        cs = np.stack(
+            [
+                centers + rw - uh,
+                centers - rw - uh,
+                centers - rw + uh,
+                centers + rw + uh,
+            ],
+            axis=1,
+        )  # (n, 4, 2)
+        cx = centers[:, 0]
+        cy = centers[:, 1]
         order = np.argsort(cs[:, :, 0], axis=1, kind="stable")
         sorted_x = np.take_along_axis(cs[:, :, 0], order, axis=1)
         sorted_y = np.take_along_axis(cs[:, :, 1], order, axis=1)
@@ -285,20 +290,27 @@ def filter_overlapping(rect_iter: Iterable[Rect], factor: float) -> Iterator[Rec
 
 
 def _bounding_rects(rects: Sequence[RotatedRect]) -> np.ndarray:
-    """(n, 4) t/l/b/r bounding boxes of rotated rects."""
-    out = np.empty((len(rects), 4))
-    for i, r in enumerate(rects):
-        right = np.abs(r.right_axis()) * (r.width / 2.0)
-        up = np.abs(r.up) * (r.height / 2.0)
-        ext = right + up
-        out[i, 0] = r.center[1] - ext[1]
-        out[i, 1] = r.center[0] - ext[0]
-        out[i, 2] = r.center[1] + ext[1]
-        out[i, 3] = r.center[0] + ext[0]
-    return out
+    """(n, 4) t/l/b/r bounding boxes of rotated rects (vectorized)."""
+    n = len(rects)
+    centers = np.array([r.center for r in rects]).reshape(n, 2)
+    ups = np.array([r.up for r in rects]).reshape(n, 2)
+    whs = np.array([(r.width, r.height) for r in rects]).reshape(n, 2)
+    rights = np.stack([-ups[:, 1], ups[:, 0]], axis=1)
+    ext = np.abs(rights) * (whs[:, 0:1] / 2.0) + np.abs(ups) * (whs[:, 1:2] / 2.0)
+    return np.stack(
+        [
+            centers[:, 1] - ext[:, 1],
+            centers[:, 0] - ext[:, 0],
+            centers[:, 1] + ext[:, 1],
+            centers[:, 0] + ext[:, 0],
+        ],
+        axis=1,
+    )
 
 
-def find_block_separators(words: Sequence[RotatedRect]) -> list[Rect]:
+def find_block_separators(
+    words: Sequence[RotatedRect], idx: Optional[_WordIndex] = None
+) -> list[Rect]:
     """Find whitespace rects separating columns/sections
     (layout_analysis.rs:83-155)."""
     if not words:
@@ -312,7 +324,7 @@ def find_block_separators(words: Sequence[RotatedRect]) -> list[Rect]:
     )
 
     # Estimate spacing statistics from a separator-free line grouping.
-    lines_idx = _group_into_lines_idx(words, ())
+    lines_idx = _group_into_lines_idx(words, (), idx=idx)
     lines_idx.sort(key=lambda li: int(round(boxes[li[0], 0])))
 
     all_spacings: list[int] = []
@@ -369,13 +381,14 @@ def find_text_lines(words: Sequence[RotatedRect]) -> list[list[RotatedRect]]:
     (layout_analysis.rs:158-232)."""
     if not words:
         return []
-    separators = find_block_separators(words)
+    idx = _WordIndex(words)
+    separators = find_block_separators(words, idx=idx)
     vertical_seps = [
         Line(point(r.center()[0], r.top), point(r.center()[0], r.bottom))
         for r in separators
     ]
 
-    lines_idx = _group_into_lines_idx(words, vertical_seps)
+    lines_idx = _group_into_lines_idx(words, vertical_seps, idx=idx)
 
     # Approximate each text line by the 1-D segment from the centre of its
     # first word's left bbox edge to the centre of its last word's right

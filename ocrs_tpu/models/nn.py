@@ -149,7 +149,7 @@ def bigru_init(key, cin: int, hidden: int) -> dict:
 def bigru_apply(params: dict, x: jax.Array) -> jax.Array:
     """Bidirectional GRU: concatenated forward/backward states [N, T, 2H].
 
-    On TPU backends the fused Pallas sequence kernel replaces the lax.scan
+    With OCRS_TPU_PALLAS_GRU=1 the fused Pallas sequence kernel replaces the lax.scan
     (weights pinned in VMEM across the whole sequence; one grid step per
     timestep) — see ocrs_tpu.ops.gru_pallas. The scan path remains the
     reference/fallback and the training path (the Pallas kernel is

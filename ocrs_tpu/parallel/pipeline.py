@@ -91,8 +91,14 @@ def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
     labels = jax.vmap(label_components_device)(masks)
+    # Boundary pixels at detector resolution are bounded by ~perimeter sums;
+    # 64k gives >2x headroom over dense text pages and halves the sort.
     return jax.vmap(
-        partial(min_area_rects_device, max_components=max_components)
+        partial(
+            min_area_rects_device,
+            max_components=max_components,
+            max_boundary=65536,
+        )
     )(labels)
 
 

@@ -104,25 +104,43 @@ def resized_line_width(orig_width: float, orig_height: float, height: int) -> in
 def line_polygon(words: Sequence[RotatedRect]) -> np.ndarray:
     """Closed polygon that tightly follows a line's word rects: top-edge
     endpoints left-to-right, then bottom-edge endpoints right-to-left, floored
-    to integers (recognition.rs:29-55). Returns (4 * len(words), 2) int [x, y]."""
-    top: list[tuple[int, int]] = []
-    bottom: list[tuple[int, int]] = []
-    for rect in words:
-        left = leftmost_edge(rect).downwards()
-        right = rightmost_edge(rect).downwards()
-        top.append((math.floor(left.start[0]), math.floor(left.start[1])))
-        top.append((math.floor(right.start[0]), math.floor(right.start[1])))
-        bottom.append((math.floor(right.end[0]), math.floor(right.end[1])))
-        bottom.append((math.floor(left.end[0]), math.floor(left.end[1])))
-    # Bottom edge points are appended right-to-left: the per-word loop above
-    # pushed (right, left) pairs in word order, so reversing the whole word
-    # sequence while keeping (right, left) order per word is just iterating
-    # words in reverse — equivalently, reverse the flat list pairwise.
-    bottom_r_to_l: list[tuple[int, int]] = []
-    for k in range(len(words) - 1, -1, -1):
-        bottom_r_to_l.append(bottom[2 * k])
-        bottom_r_to_l.append(bottom[2 * k + 1])
-    return np.array(top + bottom_r_to_l, dtype=np.int64)
+    to integers (recognition.rs:29-55). Returns (4 * len(words), 2) int [x, y].
+
+    Vectorized over the words of the line: for each word, the leftmost edge
+    is the two smallest-x corners and the rightmost edge the two largest-x
+    corners (geom_util.rs:6-17), each ordered top-to-bottom (downwards)."""
+    k = len(words)
+    centers = np.array([w.center for w in words]).reshape(k, 2)
+    ups = np.array([w.up for w in words]).reshape(k, 2)
+    whs = np.array([(w.width, w.height) for w in words]).reshape(k, 2)
+    rights = np.stack([-ups[:, 1], ups[:, 0]], axis=1)
+    rw = rights * (whs[:, 0:1] / 2.0)
+    uh = ups * (whs[:, 1:2] / 2.0)
+    cs = np.stack(
+        [centers + rw - uh, centers - rw - uh, centers - rw + uh, centers + rw + uh],
+        axis=1,
+    )  # (k, 4, 2)
+    order = np.argsort(cs[:, :, 0], axis=1, kind="stable")
+    sx = np.take_along_axis(cs[:, :, 0], order, axis=1)
+    sy = np.take_along_axis(cs[:, :, 1], order, axis=1)
+
+    def edge(i0, i1):
+        """Edge (corners i0, i1 of the x-sorted order) as downwards
+        (start.y <= end.y) start/end points: (k, 2, 2)."""
+        swap = sy[:, i0] > sy[:, i1]
+        x0 = np.where(swap, sx[:, i1], sx[:, i0])
+        y0 = np.where(swap, sy[:, i1], sy[:, i0])
+        x1 = np.where(swap, sx[:, i0], sx[:, i1])
+        y1 = np.where(swap, sy[:, i0], sy[:, i1])
+        return np.stack([np.stack([x0, y0], 1), np.stack([x1, y1], 1)], axis=1)
+
+    left = edge(0, 1)
+    right = edge(2, 3)
+    # Tops left-to-right: (left.start, right.start) per word.
+    top_pts = np.stack([left[:, 0], right[:, 0]], axis=1).reshape(2 * k, 2)
+    # Bottoms right-to-left: (right.end, left.end) per word, words reversed.
+    bot_pts = np.stack([right[:, 1], left[:, 1]], axis=1)[::-1].reshape(2 * k, 2)
+    return np.floor(np.concatenate([top_pts, bot_pts])).astype(np.int64)
 
 
 def _round_half_away(y: np.ndarray) -> np.ndarray:
