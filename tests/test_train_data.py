@@ -1,0 +1,75 @@
+"""Tests for the synthetic training data pipeline + a short real training
+run (loss must drop on a fixed batch)."""
+
+import numpy as np
+import pytest
+
+from ocrs_tpu.engine import DEFAULT_ALPHABET
+from ocrs_tpu.preprocess import BLACK_VALUE
+from ocrs_tpu.train.data import (
+    detection_batches,
+    labels_for,
+    recognition_batches,
+    render_line,
+    render_page,
+)
+
+
+def test_render_line_shape_and_range():
+    line = render_line("Hello 123")
+    assert line.shape[0] == 64
+    assert line.shape[1] >= 10
+    assert line.min() >= BLACK_VALUE - 1e-6
+    assert line.max() <= BLACK_VALUE + 1.0 + 1e-6
+    # Text must actually darken pixels (white bg = +0.5, ink below).
+    assert (line < 0.0).sum() > 20
+
+
+def test_labels_for():
+    labs = labels_for("0a", DEFAULT_ALPHABET)
+    assert labs == [DEFAULT_ALPHABET.index("0") + 1, DEFAULT_ALPHABET.index("a") + 1]
+    assert labels_for("ሴ", DEFAULT_ALPHABET) == []  # unknown dropped
+
+
+def test_recognition_batches_shapes():
+    gen = recognition_batches(4, width=128, max_label_len=8, seed=1)
+    images, labels, lengths = next(gen)
+    assert images.shape == (4, 1, 64, 128)
+    assert labels.shape == (4, 8)
+    assert lengths.shape == (4,)
+    assert (lengths > 0).all()
+    assert (labels[np.arange(4), 0] > 0).all()
+
+
+def test_render_page_mask_alignment():
+    rng = np.random.default_rng(0)
+    img, mask = render_page(rng, page_hw=(200, 300), n_lines=3)
+    assert img.shape == (1, 200, 300) and mask.shape == (1, 200, 300)
+    ink = img[0] < 0.0
+    # Ink pixels must be covered by the mask.
+    assert (ink & (mask[0] > 0)).sum() >= 0.9 * ink.sum()
+
+
+def test_recognition_training_reduces_loss():
+    import jax
+    import optax
+
+    from ocrs_tpu.train.train import (
+        init_recognition_state,
+        make_mesh,
+        make_recognition_train_step,
+        shard_batch,
+    )
+
+    mesh = make_mesh(1)
+    opt = optax.adam(1e-3)
+    with mesh:
+        state = init_recognition_state(mesh, opt, n_classes=97, hidden=32)
+        step = make_recognition_train_step(mesh, opt)
+        images, labels, lengths = next(recognition_batches(4, width=128, seed=3))
+        batch = shard_batch(mesh, *map(np.asarray, (images, labels, lengths)))
+        first = None
+        for _ in range(8):
+            state, loss = step(state, *batch)
+            first = float(loss) if first is None else first
+        assert float(loss) < first
