@@ -119,12 +119,22 @@ def _load_models(args):
     if args.random_weights:
         return DetectionModel.create(0), RecognitionModel.create(0)
 
+    # Default weights: the synthetic-data-trained checkpoints shipped in
+    # <repo>/weights (mirrors the reference CLI's default-model behaviour,
+    # models.rs:100-107, minus the network download).
     if not args.detect_model or not args.rec_model:
-        raise SystemExit(
-            "error: --detect-model and --rec-model are required (ocrs-tpu uses "
-            ".npz weights; pass --random-weights for a smoke test with "
-            "untrained models)"
-        )
+        weights_dir = Path(__file__).resolve().parent.parent / "weights"
+        det_default = weights_dir / "text-detection.npz"
+        rec_default = weights_dir / "text-recognition.npz"
+        if det_default.exists() and rec_default.exists():
+            args.detect_model = args.detect_model or str(det_default)
+            args.rec_model = args.rec_model or str(rec_default)
+        else:
+            raise SystemExit(
+                "error: --detect-model and --rec-model are required (ocrs-tpu "
+                "uses .npz weights; train them with tools/train_models.py, or "
+                "pass --random-weights for a smoke test with untrained models)"
+            )
     det_params, det_meta = load_params(fetch_model(args.detect_model))
     rec_params, rec_meta = load_params(fetch_model(args.rec_model))
     det = DetectionModel(det_params, tuple(det_meta.get("input_hw", (800, 608))))

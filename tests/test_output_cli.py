@@ -111,14 +111,14 @@ def test_cli_end_to_end(tmp_path):
     assert "paragraphs" in doc
 
 
-def test_cli_missing_models():
+def test_cli_missing_image():
     import os
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
     result = subprocess.run(
-        [sys.executable, "-m", "ocrs_tpu.cli", "x.png"],
+        [sys.executable, "-m", "ocrs_tpu.cli", "definitely-missing.png", "--fake-models"],
         capture_output=True,
         text=True,
         timeout=120,
@@ -126,4 +126,20 @@ def test_cli_missing_models():
         cwd="/root/repo",
     )
     assert result.returncode != 0
-    assert "detect-model" in result.stderr
+
+
+def test_cli_default_weights_discovery():
+    """Without --detect-model/--rec-model, the CLI resolves the shipped
+    weights under <repo>/weights (or errors informatively when absent)."""
+    from ocrs_tpu.cli import build_parser, _load_models
+
+    args = build_parser().parse_args(["x.png"])
+    weights = Path("/root/repo/weights")
+    if (weights / "text-detection.npz").exists() and (
+        weights / "text-recognition.npz"
+    ).exists():
+        det, rec = _load_models(args)
+        assert det.input_shape()[2:] == list(det.input_shape()[2:])
+    else:
+        with pytest.raises(SystemExit, match="detect-model"):
+            _load_models(args)
