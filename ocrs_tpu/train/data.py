@@ -212,7 +212,7 @@ def render_page(
     draw = ImageDraw.Draw(img)
     font = _font(font_size)
     words_out: list[tuple[str, tuple[int, int, int, int]]] = []
-    y = 20
+    y = max(20, font_size)
     for _ in range(n_lines):
         if y > h - 2 * font_size:
             break
@@ -230,7 +230,9 @@ def render_page(
             sh = 2
             mask[int(y0) + sh : int(y1) + 1 - sh, int(x0) + sh : int(x1) + 1 - sh] = 1.0
             words_out.append((word, (int(y0), int(x0), int(y1), int(x1))))
-            x = int(x1) + int(rng.integers(12, 30))
+            # Inter-word gap scales with the font so the page statistics are
+            # resolution-invariant after the detector's fixed-input downscale.
+            x = int(x1) + int(rng.integers(max(12, font_size // 2), max(30, int(font_size * 1.4))))
         y += int(rng.integers(int(font_size * 1.8), int(font_size * 3.2)))
     arr = np.asarray(img, np.float32) / 255.0 + BLACK_VALUE
     if return_words:
