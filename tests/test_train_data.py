@@ -46,8 +46,15 @@ def test_render_page_mask_alignment():
     img, mask = render_page(rng, page_hw=(200, 300), n_lines=3)
     assert img.shape == (1, 200, 300) and mask.shape == (1, 200, 300)
     ink = img[0] < 0.0
-    # Ink pixels must be covered by the mask.
-    assert (ink & (mask[0] > 0)).sum() >= 0.9 * ink.sum()
+    # The label mask is deliberately SHRUNK relative to the word boxes (the
+    # under-segmentation training design, detection.rs:108-117), so it covers
+    # the word cores, not every ink pixel; and every mask pixel must be near
+    # ink (inside a word box).
+    assert (ink & (mask[0] > 0)).sum() >= 0.4 * ink.sum()
+    from scipy import ndimage
+
+    near_ink = ndimage.binary_dilation(ink, iterations=4)
+    assert ((mask[0] > 0) & ~near_ink).sum() <= 0.05 * (mask[0] > 0).sum()
 
 
 def test_recognition_training_reduces_loss():
