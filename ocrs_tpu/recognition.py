@@ -37,14 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .errors import WrongOutputError
-from .geometry import (
-    Line,
-    Rect,
-    RotatedRect,
-    bounding_rect,
-    leftmost_edge,
-    rightmost_edge,
-)
+from .geometry import Line, Rect, RotatedRect, bounding_rect
 from .models.protocol import Model, fixed_height_or
 from .ops.ctc import (
     CtcStep,

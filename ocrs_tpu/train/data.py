@@ -104,10 +104,14 @@ def _render_pipeline_line(
     from ..geometry import Rect, RotatedRect
     from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
 
-    font_size = int(rng.integers(14, 44))
+    # Fonts span the full range of line heights the pipeline produces:
+    # small fonts exercise the upscale path, large fonts (line height above
+    # the 64px recognition input) the downscale path seen with high-dpi
+    # scans.
+    font_size = int(rng.integers(14, 100))
     font = _font(font_size)
     canvas_h = font_size * 3 + 24
-    canvas_w = 2048
+    canvas_w = 3072
     img = Image.new("L", (canvas_w, canvas_h), 255)
     draw = ImageDraw.Draw(img)
     y = canvas_h // 3
