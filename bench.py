@@ -192,29 +192,57 @@ def main() -> None:
         print(json.dumps(bench_line_recognition()))
         return
 
+    from pathlib import Path
+
     from ocrs_tpu.engine import DEFAULT_ALPHABET
     from ocrs_tpu.models.detection_net import DetectionModel
     from ocrs_tpu.models.recognition_net import RecognitionModel
     from ocrs_tpu.parallel.pipeline import PagePipeline
 
-    det_inner = DetectionModel.create(0)
-    mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
-    # Page larger than model input in both dims -> no padding, crop == model.
-    page, boxes = make_page_and_layout(0)
-    oracle = make_oracle_mask(boxes, (mh, mw), (mh, mw), (PAGE_H, PAGE_W))
-    det_oracle = OracleBlendDetectionModel(
-        DetectionModel(det_inner.params, (mh, mw)), oracle
-    )
-    rec = RecognitionModel.create(0)
+    weights_dir = Path(__file__).resolve().parent / "weights"
+    det_w = weights_dir / "text-detection.npz"
+    rec_w = weights_dir / "text-recognition.npz"
+    if det_w.exists() and rec_w.exists():
+        # Fully real e2e: trained models on rendered 300-dpi text pages —
+        # no oracle anywhere in the measured graph.
+        from ocrs_tpu.models.weights import load_params
+        from ocrs_tpu.train.data import render_page
+
+        dp, dm = load_params(det_w)
+        rp, rm = load_params(rec_w)
+        det_model = DetectionModel(dp, tuple(dm.get("input_hw", (800, 608))))
+        rec = RecognitionModel(rp)
+        alphabet = rm.get("alphabet", DEFAULT_ALPHABET)
+        rng = np.random.default_rng(0)
+        pages = np.stack(
+            [
+                (
+                    (render_page(rng, page_hw=(PAGE_H, PAGE_W), n_lines=30, font_size=65)[0][0]
+                     + 0.5) * 255
+                ).astype(np.uint8)
+                for _ in range(PAGE_BATCH)
+            ]
+        )
+    else:
+        # No trained weights available: random-weight architectures with an
+        # oracle-blended detection output for realistic post-processing load.
+        det_inner = DetectionModel.create(0)
+        mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
+        page, boxes = make_page_and_layout(0)
+        oracle = make_oracle_mask(boxes, (mh, mw), (mh, mw), (PAGE_H, PAGE_W))
+        det_model = OracleBlendDetectionModel(
+            DetectionModel(det_inner.params, (mh, mw)), oracle
+        )
+        rec = RecognitionModel.create(0)
+        alphabet = DEFAULT_ALPHABET
+        pages = np.stack([make_page_and_layout(s)[0] for s in range(PAGE_BATCH)])
 
     pipeline = PagePipeline(
-        detection_model=det_oracle,
+        detection_model=det_model,
         recognition_model=rec,
-        alphabet=DEFAULT_ALPHABET,
+        alphabet=alphabet,
         max_lines_per_batch=128,
     )
-
-    pages = np.stack([make_page_and_layout(s)[0] for s in range(PAGE_BATCH)])
 
     # Warmup (compilation)
     results = pipeline.process(pages)

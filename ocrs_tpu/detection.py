@@ -198,15 +198,19 @@ class TextDetector:
                 p > self._params.text_threshold, expand_dist=0.0, min_area=0.0
             )
 
+        # Expansion compensates the model's trained under-segmentation, which
+        # is a MODEL-resolution quantity; in page coordinates it scales with
+        # the resize factor (the page-res path gets this implicitly because
+        # the mask itself is upscaled before thresholding).
+        ex = EXPAND_DIST * sx
+        ey = EXPAND_DIST * sy
         out: list[RotatedRect] = []
         scale = np.array([sx, sy])
         for rect in raw:
             corners = np.stack(rect.corners()) * scale[None, :]
             scaled = min_area_rect(corners)
             assert scaled is not None
-            scaled.resize(
-                scaled.width + 2.0 * EXPAND_DIST, scaled.height + 2.0 * EXPAND_DIST
-            )
+            scaled.resize(scaled.width + 2.0 * ex, scaled.height + 2.0 * ey)
             if scaled.area() >= self._params.min_area:
                 out.append(scaled)
         return out

@@ -106,8 +106,28 @@ def _run_scan_min(labels: jax.Array, mask: jax.Array, axis: int) -> jax.Array:
     return jnp.where(mask, out, big)
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def label_components_device(mask: jax.Array, max_iters: int = 64) -> jax.Array:
+def _dilate3(mask: jax.Array) -> jax.Array:
+    p = jnp.pad(mask, 1, constant_values=False)
+    return (
+        p[:-2, :-2] | p[:-2, 1:-1] | p[:-2, 2:]
+        | p[1:-1, :-2] | p[1:-1, 1:-1] | p[1:-1, 2:]
+        | p[2:, :-2] | p[2:, 1:-1] | p[2:, 2:]
+    )
+
+
+def _erode3(mask: jax.Array) -> jax.Array:
+    p = jnp.pad(mask, 1, constant_values=False)
+    return (
+        p[:-2, :-2] & p[:-2, 1:-1] & p[:-2, 2:]
+        & p[1:-1, :-2] & p[1:-1, 1:-1] & p[1:-1, 2:]
+        & p[2:, :-2] & p[2:, 1:-1] & p[2:, 2:]
+    )
+
+
+@partial(jax.jit, static_argnames=("max_iters", "solidify"))
+def label_components_device(
+    mask: jax.Array, max_iters: int = 64, solidify: bool = False
+) -> jax.Array:
     """8-connected CCL on device via min-label propagation.
 
     Each iteration does one 8-neighbour relaxation followed by full-row and
@@ -117,11 +137,25 @@ def label_components_device(mask: jax.Array, max_iters: int = 64) -> jax.Array:
     exits as soon as a sweep changes nothing; `max_iters` bounds worst-case
     serpentine shapes.
 
+    With ``solidify=True`` the labels are computed on the 3x3-CLOSED mask
+    (dilate+erode) and then restricted back to the original pixels. Closing
+    cannot split a component and only merges components within 2px of each
+    other; it turns stroke-shaped text blobs into near-solid regions, which
+    collapses the propagation count from dozens of serpentine iterations to
+    a handful. Use it when masks come from a real text detector.
+
     Returns int32 labels where background = -1 and each component is
-    labelled by the smallest linear index of its pixels.
+    labelled by the smallest linear index of its pixels (of the closed
+    component when solidify is on).
     """
     h, w = mask.shape
     mask = mask.astype(bool)
+    orig_mask = mask
+    if solidify:
+        mask = _erode3(_dilate3(mask))
+        # Closing erodes isolated 1-2px pixels away entirely; keep original
+        # pixels so no component vanishes.
+        mask = mask | orig_mask
     big = jnp.array(jnp.iinfo(jnp.int32).max, jnp.int32)
     lin = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
@@ -129,6 +163,11 @@ def label_components_device(mask: jax.Array, max_iters: int = 64) -> jax.Array:
     )
     labels = jnp.where(mask, lin, big)
 
+    # nb. pointer jumping (gathering each pixel's label's label for path
+    # compression) was tried here and measured SLOWER on TPU — the per-pixel
+    # gather lowers to scalar loads that cost more than the extra
+    # associative-scan sweeps it saves. Roadmap: sheared scans for diagonal
+    # runs, or a Pallas CCL kernel.
     def sweep(lab):
         lab = _propagate_once(lab, mask)
         lab = _run_scan_min(lab, mask, axis=1)

@@ -166,11 +166,14 @@ def rects_from_mask_device(
     expand_dist: float,
     min_area: float,
     max_components: int = 1024,
+    solidify: bool = True,
 ) -> list[RotatedRect]:
     """Device CCL + dense rect fitting; only the small rect table is copied
     to host. Applies the reference's expand + min-area filtering
-    (detection.rs:104-122)."""
-    labels = label_components_device(mask)
+    (detection.rs:104-122). `solidify` closes stroke-shaped blobs before
+    labelling (see label_components_device) — keep it on for real detector
+    masks."""
+    labels = label_components_device(mask, solidify=solidify)
     table = min_area_rects_device(labels, max_components=max_components)
     return rect_table_to_host(table, expand_dist, min_area)
 

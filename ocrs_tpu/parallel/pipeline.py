@@ -90,7 +90,11 @@ def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
 def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
-    labels = jax.vmap(label_components_device)(masks)
+    # Convergence-bound labelling: real text masks need ~30-60 sweeps for
+    # the worst label zigzags along merged lines/diagonal strokes (capping
+    # lower splits words and costs accuracy). Faster convergence (pointer
+    # jumping / sheared diagonal scans) is a roadmap item.
+    labels = jax.vmap(partial(label_components_device, solidify=True))(masks)
     # Boundary pixels at detector resolution are bounded by ~perimeter sums;
     # 64k gives >2x headroom over dense text pages and halves the sort.
     return jax.vmap(
@@ -209,9 +213,11 @@ class PagePipeline:
                     float(t["h"][i][j]),
                 )
                 scaled = _scale_rotated_rect(rect, sx, sy)
+                # Scale-proportional expansion: see detection.py
+                # _detect_words_model_res.
                 scaled.resize(
-                    scaled.width + 2.0 * EXPAND_DIST,
-                    scaled.height + 2.0 * EXPAND_DIST,
+                    scaled.width + 2.0 * EXPAND_DIST * sx,
+                    scaled.height + 2.0 * EXPAND_DIST * sy,
                 )
                 if scaled.area() >= self._params.min_area:
                     words.append(scaled)
