@@ -34,7 +34,7 @@ from ..detection import EXPAND_DIST, TextDetectorParams
 from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
-from ..ops.connected_components import label_components_device
+from ..ops.connected_components import label_components_multigrid
 from ..ops.ctc import collapse_greedy_batch, greedy_labels
 from ..ops.rects import min_area_rects_device, rect_table_to_host
 from ..ops.resize import resize_bilinear
@@ -90,11 +90,10 @@ def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
 def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
-    # Convergence-bound labelling: real text masks need ~30-60 sweeps for
-    # the worst label zigzags along merged lines/diagonal strokes (capping
-    # lower splits words and costs accuracy). Faster convergence (pointer
-    # jumping / sheared diagonal scans) is a roadmap item.
-    labels = jax.vmap(partial(label_components_device, solidify=True))(masks)
+    # Multigrid labelling: connectivity solved at half resolution (4x
+    # cheaper sweeps, half the zigzag count), labels lifted back to the
+    # full-resolution mask where rect extents are computed exactly.
+    labels = jax.vmap(label_components_multigrid)(masks)
     # Boundary pixels at detector resolution are bounded by ~perimeter sums;
     # 64k gives >2x headroom over dense text pages and halves the sort.
     return jax.vmap(
