@@ -96,10 +96,14 @@ def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
     labels = jax.vmap(label_components_multigrid)(masks)
     # Boundary pixels at detector resolution are bounded by ~perimeter sums;
     # 64k gives >2x headroom over dense text pages and halves the sort.
+    # max_points=256 keeps every boundary point for components up to a
+    # 256px perimeter (any real word at detector resolution) and halves the
+    # dense-tile gather; larger merged blobs get uniform raster subsampling.
     return jax.vmap(
         partial(
             min_area_rects_device,
             max_components=max_components,
+            max_points=256,
             max_boundary=65536,
         )
     )(labels)
