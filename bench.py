@@ -95,37 +95,61 @@ N_BATCHES = 3
 
 def bench_screenshot_latency() -> dict:
     """Config 1: single 720p screenshot -> plain text; p50 latency."""
+    from pathlib import Path
+
     from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
     from ocrs_tpu.models.detection_net import DetectionModel
     from ocrs_tpu.models.recognition_net import RecognitionModel
     from ocrs_tpu.preprocess import DimOrder, ImageSource
 
     h, w = 720, 1280
-    rng = np.random.default_rng(0)
-    img = np.full((h, w), 240, np.uint8)
-    boxes = []
-    for li in range(18):
-        y = 30 + li * 36
-        x = 40
-        for _ in range(10):
-            ww = int(rng.integers(50, 120))
-            if x + ww > w - 40:
-                break
-            img[y : y + 20, x : x + ww] = 30
-            boxes.append((y, x, 20, ww))
-            x += ww + 16
+    weights_dir = Path(__file__).resolve().parent / "weights"
+    det_w = weights_dir / "text-detection.npz"
+    rec_w = weights_dir / "text-recognition.npz"
+    if det_w.exists() and rec_w.exists():
+        from ocrs_tpu.models.weights import load_params
+        from ocrs_tpu.train.data import render_page
 
-    det_inner = DetectionModel.create(0)
-    mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
-    # 720p is smaller than the detector input in H: pad_bottom = mh - 720, no
-    # W pad, so the page content occupies model rows [0, 720) and all 608
-    # model columns (detection.rs padding semantics).
-    oracle = make_oracle_mask(boxes, (mh, mw), (min(h, mh), mw), (h, w))
-    det = OracleBlendDetectionModel(DetectionModel(det_inner.params, (mh, mw)), oracle)
+        dp, dm = load_params(det_w)
+        rp, rm = load_params(rec_w)
+        det = DetectionModel(dp, tuple(dm.get("input_hw", (800, 608))))
+        rec = RecognitionModel(rp)
+        alphabet = rm.get("alphabet", DEFAULT_ALPHABET)
+        rng = np.random.default_rng(3)
+        img = (
+            (render_page(rng, page_hw=(h, w), n_lines=14, font_size=30)[0][0] + 0.5)
+            * 255
+        ).astype(np.uint8)
+    else:
+        rng = np.random.default_rng(0)
+        img = np.full((h, w), 240, np.uint8)
+        boxes = []
+        for li in range(18):
+            y = 30 + li * 36
+            x = 40
+            for _ in range(10):
+                ww = int(rng.integers(50, 120))
+                if x + ww > w - 40:
+                    break
+                img[y : y + 20, x : x + ww] = 30
+                boxes.append((y, x, 20, ww))
+                x += ww + 16
+        det_inner = DetectionModel.create(0)
+        mh, mw = det_inner.input_shape()[2], det_inner.input_shape()[3]
+        # 720p is smaller than the detector input in H: pad_bottom = mh - 720,
+        # no W pad (detection.rs padding semantics).
+        oracle = make_oracle_mask(boxes, (mh, mw), (min(h, mh), mw), (h, w))
+        det = OracleBlendDetectionModel(
+            DetectionModel(det_inner.params, (mh, mw)), oracle
+        )
+        rec = RecognitionModel.create(0)
+        alphabet = DEFAULT_ALPHABET
+
     engine = OcrEngine(
         OcrEngineParams(
             detection_model=det,
-            recognition_model=RecognitionModel.create(0),
+            recognition_model=rec,
+            alphabet=alphabet,
             detection_postprocess="device",
             detection_postprocess_resolution="model",
             max_lines_per_batch=32,
