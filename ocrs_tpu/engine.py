@@ -28,6 +28,7 @@ from .recognition import (
     RecognitionOpt,
     TextRecognizer,
 )
+from .recognition import single_bucket as recognition_single_bucket
 from .text_items import TextLine
 
 #: Characters the recognition model was trained on; label i (>=1) maps to
@@ -64,7 +65,9 @@ class OcrEngineParams:
     detection_tiled: bool = False
     detection_tile_overlap: int = 64
     #: Maps a resized line width to its padded bucket width. None = the
-    #: lane-aligned TPU ladder; ``recognition.reference_bucket`` gives the
+    #: latency-optimal single bucket (one recognition batch + one host sync
+    #: per image); ``recognition.TPU_WIDTH_LADDER``/``ladder_bucket`` suit
+    #: throughput batching and ``recognition.reference_bucket`` gives the
     #: reference's multiples-of-50 behaviour.
     recognition_width_bucket: Optional[Callable[[int], int]] = None
     max_lines_per_batch: int = 20
@@ -97,7 +100,8 @@ class OcrEngine:
         self._recognizer = (
             TextRecognizer(
                 params.recognition_model,
-                width_bucket=params.recognition_width_bucket,
+                width_bucket=params.recognition_width_bucket
+                or recognition_single_bucket,
                 max_lines_per_batch=params.max_lines_per_batch,
             )
             if params.recognition_model is not None

@@ -238,6 +238,15 @@ def reference_bucket(width: int) -> int:
 TPU_WIDTH_LADDER: tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048, 2432)
 
 
+#: Latency-optimal law for single-image engine use: ONE bucket means one
+#: recognition batch and one device->host sync per image. The padded compute
+#: is cheaper than extra dispatch+sync rounds (measured 1.46s -> 0.50s p50 on
+#: a 720p screenshot); multi-page throughput pipelines use TPU_WIDTH_LADDER
+#: instead, where batches are full and padding waste dominates.
+def single_bucket(width: int) -> int:
+    return 2432
+
+
 def ladder_bucket(ladder: Sequence[int]) -> Callable[[int], int]:
     lad = sorted(ladder)
 
