@@ -41,6 +41,7 @@ from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch, pad_chain
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
 from ..recognition import (
+    COARSE_WIDTH_LADDER,
     MAX_CHAIN_V,
     _LineResult,
     _RecLine,
@@ -49,7 +50,6 @@ from ..recognition import (
     ladder_bucket,
     line_polygon,
     resized_line_width,
-    TPU_WIDTH_LADDER,
 )
 from ..text_items import TextLine
 
@@ -173,7 +173,7 @@ class PagePipeline:
         self._params = detector_params
         self._det_hw = fixed_hw(detection_model.input_shape())
         self._rec_h = fixed_height_or(recognition_model.input_shape(), 50)
-        self._bucket = width_bucket or ladder_bucket(TPU_WIDTH_LADDER)
+        self._bucket = width_bucket or ladder_bucket(COARSE_WIDTH_LADDER)
         self._max_lines = max_lines_per_batch
         self._max_components = max_components
 

@@ -231,11 +231,15 @@ def reference_bucket(width: int) -> int:
     return ((width + 49) // 50) * 50
 
 
-#: TPU default: a short ladder of lane-aligned (128x) widths so recognition
-#: compiles a handful of programs instead of 48. Extra padding is BLACK and
+#: Lane-aligned (128x) width-bucket ladders. Extra padding is BLACK and
 #: decoded characters falling in it are clipped (recognition.rs:271-276), so
-#: this changes compute shape, not results.
+#: bucket choice changes compute shape, not results. Measured guidance:
+#: fewer buckets -> fewer dispatch/sync rounds, which outweighs padded
+#: compute on both the latency path (single_bucket) and the batched
+#: throughput path (COARSE_WIDTH_LADDER); the fine ladder remains useful
+#: when batches are consistently full per bucket.
 TPU_WIDTH_LADDER: tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048, 2432)
+COARSE_WIDTH_LADDER: tuple[int, ...] = (1216, 2432)
 
 
 #: Latency-optimal law for single-image engine use: ONE bucket means one
