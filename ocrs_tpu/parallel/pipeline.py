@@ -173,6 +173,11 @@ class PagePipeline:
         self._params = detector_params
         self._det_hw = fixed_hw(detection_model.input_shape())
         self._rec_h = fixed_height_or(recognition_model.input_shape(), 50)
+        # Coarse 2-bucket ladder: fewer (bucket, batch) combinations means
+        # fewer dispatch+sync rounds (measured faster than the fine ladder).
+        # nb. a SINGLE pooled bucket measured faster still but produced
+        # corrupted decodes at batch 128 x width 2432 on the axon backend —
+        # under investigation; the 2-bucket ladder is the verified default.
         self._bucket = width_bucket or ladder_bucket(COARSE_WIDTH_LADDER)
         self._max_lines = max_lines_per_batch
         self._max_components = max_components
