@@ -116,8 +116,6 @@ def gru_apply(params: dict, x: jax.Array, reverse: bool = False) -> jax.Array:
         jnp.dot(x, params["wx"].astype(x.dtype)).astype(jnp.float32)
         + params["bx"]
     )  # [N, T, 3H]; recurrence runs in fp32 for stability
-    if reverse:
-        xp = jnp.flip(xp, axis=1)
     xp = jnp.swapaxes(xp, 0, 1)  # [T, N, 3H]
 
     wh = params["wh"]
@@ -134,10 +132,13 @@ def gru_apply(params: dict, x: jax.Array, reverse: bool = False) -> jax.Array:
         return h_new, h_new
 
     h0 = jnp.zeros((n, hidden), jnp.float32)
-    _, hs = jax.lax.scan(step, h0, xp)
+    # The backward direction scans the sequence natively in reverse
+    # (lax.scan(reverse=True) emits outputs in original time order). This
+    # avoids explicit jnp.flip of the [T, N, 3H] tensor, which miscompiles
+    # on some TPU backends at large shapes (observed: wrong reverse-GRU
+    # output at batch 128 x T 608 on the axon v5e backend).
+    _, hs = jax.lax.scan(step, h0, xp, reverse=reverse)
     hs = jnp.swapaxes(hs, 0, 1)  # [N, T, H]
-    if reverse:
-        hs = jnp.flip(hs, axis=1)
     return hs.astype(x.dtype)
 
 

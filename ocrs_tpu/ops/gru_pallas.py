@@ -54,7 +54,7 @@ def _gru_seq_kernel(xr_ref, xz_ref, xn_ref, whr_ref, whz_ref, whn_ref, bh_ref, o
     out_ref[0] = h_new
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "reverse"))
 def gru_sequence(
     xr: jax.Array,  # [T, N, H] input projection, r gate (x @ wx_r + bx_r)
     xz: jax.Array,  # [T, N, H] z gate
@@ -62,13 +62,20 @@ def gru_sequence(
     wh: jax.Array,  # [H, 3H] fused recurrent weights (gate order r, z, n)
     bh: jax.Array,  # [3H]
     interpret: bool = False,
+    reverse: bool = False,
 ) -> jax.Array:
-    """Run a full GRU over precomputed input projections -> [T, N, H]."""
+    """Run a full GRU over precomputed input projections -> [T, N, H].
+
+    `reverse` runs the recurrence backwards in time by reversing the grid's
+    block index map — no data flips (jnp.flip of large [T, N, H] tensors
+    miscompiles on some TPU backends), and outputs land in original order.
+    """
     t, n, h = xr.shape
     whr, whz, whn = jnp.split(wh, 3, axis=1)
     bh3 = bh.reshape(3, h)
 
-    block = lambda: pl.BlockSpec((1, n, h), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tmap = (lambda i: (t - 1 - i, 0, 0)) if reverse else (lambda i: (i, 0, 0))
+    block = lambda: pl.BlockSpec((1, n, h), tmap, memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
@@ -126,17 +133,14 @@ def _gru_pallas_impl(params: dict, x: jax.Array, reverse: bool, interpret: bool)
         jnp.dot(x, params["wx"].astype(x.dtype)).astype(jnp.float32)
         + params["bx"]
     )  # [N, T, 3H]
-    if reverse:
-        xp = jnp.flip(xp, axis=1)
     xp = jnp.swapaxes(xp, 0, 1)  # [T, N, 3H]
     xr, xz, xn = jnp.split(xp, 3, axis=-1)
     hs = gru_sequence(
         xr, xz, xn, params["wh"].astype(jnp.float32), params["bh"].astype(jnp.float32),
         interpret=interpret,
+        reverse=reverse,
     )
     hs = jnp.swapaxes(hs, 0, 1)
-    if reverse:
-        hs = jnp.flip(hs, axis=1)
     return hs.astype(x.dtype)
 
 

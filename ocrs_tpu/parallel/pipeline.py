@@ -41,7 +41,7 @@ from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch, pad_chain
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
 from ..recognition import (
-    COARSE_WIDTH_LADDER,
+    single_bucket,
     MAX_CHAIN_V,
     _LineResult,
     _RecLine,
@@ -173,12 +173,13 @@ class PagePipeline:
         self._params = detector_params
         self._det_hw = fixed_hw(detection_model.input_shape())
         self._rec_h = fixed_height_or(recognition_model.input_shape(), 50)
-        # Coarse 2-bucket ladder: fewer (bucket, batch) combinations means
-        # fewer dispatch+sync rounds (measured faster than the fine ladder).
-        # nb. a SINGLE pooled bucket measured faster still but produced
-        # corrupted decodes at batch 128 x width 2432 on the axon backend —
-        # under investigation; the 2-bucket ladder is the verified default.
-        self._bucket = width_bucket or ladder_bucket(COARSE_WIDTH_LADDER)
+        # One pooled bucket: fewest (bucket, batch) combinations -> fewest
+        # dispatch+sync rounds, which measured faster than any finer ladder
+        # on this transport even with the padded compute. (An earlier
+        # corruption at batch 128 traced to a backend jnp.flip
+        # miscompilation in the reverse GRU, fixed by scanning with
+        # lax.scan(reverse=True) — see models/nn.py.)
+        self._bucket = width_bucket or single_bucket
         self._max_lines = max_lines_per_batch
         self._max_components = max_components
 
