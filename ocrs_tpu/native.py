@@ -10,6 +10,7 @@ toolchain lose only speed, not functionality.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,6 +23,7 @@ _REPO_ROOT = Path(__file__).resolve().parent.parent
 _SRC = _REPO_ROOT / "native" / "ocrs_native.cpp"
 _BUILD_DIR = _REPO_ROOT / "_build"
 _LIB_PATH = _BUILD_DIR / "libocrs_native.so"
+_STAMP_PATH = _BUILD_DIR / "libocrs_native.sha256"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -31,7 +33,11 @@ _F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 
 
-def _build() -> bool:
+def _src_digest() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
+def _build(digest: str) -> bool:
     if not _SRC.exists():
         return False
     _BUILD_DIR.mkdir(exist_ok=True)
@@ -47,6 +53,7 @@ def _build() -> bool:
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _STAMP_PATH.write_text(digest)
         return True
     except Exception:
         return False
@@ -60,9 +67,15 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("OCRS_TPU_NO_NATIVE"):
             return None
-        src_mtime = _SRC.stat().st_mtime if _SRC.exists() else 0
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src_mtime:
-            if not _build():
+        # The build cache is keyed on a hash of the C++ source — NOT on file
+        # mtimes, which a fresh git clone resets, letting a stale binary
+        # shadow newer source semantics.
+        if not _SRC.exists():
+            return None
+        digest = _src_digest()
+        stamp = _STAMP_PATH.read_text().strip() if _STAMP_PATH.exists() else ""
+        if not _LIB_PATH.exists() or stamp != digest:
+            if not _build(digest):
                 return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))

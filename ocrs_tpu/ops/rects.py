@@ -97,12 +97,18 @@ def min_area_rects_device(
     valid_pt = slab != _INT_MAX
     n_valid = jnp.sum(valid_pt, dtype=jnp.int32)
     new_seg = valid_pt & ((pos == 0) | (slab != jnp.roll(slab, 1)))
-    (starts,) = jnp.nonzero(new_seg, size=max_components, fill_value=p)
-    starts = starts.astype(jnp.int32)
-    next_starts = jnp.concatenate([starts[1:], jnp.full((1,), p, jnp.int32)])
-    ends = jnp.minimum(next_starts, n_valid)
+    # One extra start is fetched so that when the mask has more than
+    # max_components components, the last KEPT segment still ends at the
+    # first dropped segment's start instead of absorbing every remaining
+    # component's points; the overflow count is surfaced in the table.
+    (starts_ext,) = jnp.nonzero(new_seg, size=max_components + 1, fill_value=p)
+    starts_ext = starts_ext.astype(jnp.int32)
+    starts = starts_ext[:max_components]
+    ends = jnp.minimum(starts_ext[1:], n_valid)
     counts = jnp.maximum(ends - starts, 0)
     valid = counts > 0
+    n_components = jnp.sum(new_seg, dtype=jnp.int32)
+    dropped = jnp.maximum(n_components - max_components, 0)
 
     # Gather each component's boundary into a dense tile, uniformly
     # subsampling components longer than max_points (duplicating points for
@@ -152,6 +158,7 @@ def min_area_rects_device(
     return {
         "valid": valid,
         "count": counts,
+        "dropped": dropped,
         "cx": cu * c - cv * s,
         "cy": cu * s + cv * c,
         "ux": -s,  # up axis = the scanned v direction
@@ -187,6 +194,14 @@ def rect_table_to_host(
         except AttributeError:
             break
     table = jax.device_get(table)
+    dropped = int(np.asarray(table.get("dropped", 0)))
+    if dropped > 0:
+        from ..utils.log import warn
+
+        warn(
+            f"min_area_rects_device: mask had {dropped} more components than "
+            "max_components; the overflow components were dropped"
+        )
     valid = np.asarray(table["valid"])
     out: list[RotatedRect] = []
     for i in np.nonzero(valid)[0]:

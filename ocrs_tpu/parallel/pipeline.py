@@ -86,14 +86,29 @@ def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
     return x
 
 
-@partial(jax.jit, static_argnames=("crop_hw", "threshold", "max_components"))
-def _masks_to_tables(probs: jax.Array, *, crop_hw, threshold, max_components):
+@partial(
+    jax.jit,
+    static_argnames=("crop_hw", "threshold", "max_components", "multigrid", "solidify"),
+)
+def _masks_to_tables(
+    probs: jax.Array, *, crop_hw, threshold, max_components, multigrid=True, solidify=True
+):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
-    # Multigrid labelling: connectivity solved at half resolution (4x
-    # cheaper sweeps, half the zigzag count), labels lifted back to the
-    # full-resolution mask where rect extents are computed exactly.
-    labels = jax.vmap(label_components_multigrid)(masks)
+    if multigrid:
+        # Multigrid labelling: connectivity solved at half resolution (4x
+        # cheaper sweeps, half the zigzag count), labels lifted back to the
+        # full-resolution mask where rect extents are computed exactly.
+        # Caveat: with solidify the connectivity mask is 3x3-closed and
+        # 2x2-max-pooled, which can merge components separated by <~2px at
+        # half resolution (~4-5px at detector resolution) — on dense pages
+        # this may merge words that the engine's exact host path keeps
+        # separate. Pass multigrid=False/solidify=False for exact-host parity.
+        labels = jax.vmap(partial(label_components_multigrid, solidify=solidify))(masks)
+    else:
+        from ..ops.connected_components import label_components_device
+
+        labels = jax.vmap(partial(label_components_device, solidify=solidify))(masks)
     # Boundary pixels at detector resolution are bounded by ~perimeter sums;
     # 64k gives >2x headroom over dense text pages and halves the sort.
     # max_points=256 keeps every boundary point for components up to a
@@ -162,10 +177,17 @@ class PagePipeline:
         max_lines_per_batch: int = 128,
         max_components: int = 1024,
         mesh=None,
+        multigrid: bool = True,
+        solidify: bool = True,
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis. When given,
         the page batch is sharded over it and every jitted stage runs SPMD
-        across the mesh's devices (data parallelism over pages)."""
+        across the mesh's devices (data parallelism over pages).
+
+        `multigrid`/`solidify` control connected-component labelling (see
+        _masks_to_tables): the defaults are the fast path; pass both False to
+        match the single-image engine's exact host connectivity on dense
+        pages where closing+pooling could merge adjacent words."""
         self._mesh = mesh
         self._det = detection_model
         self._rec = recognition_model
@@ -182,6 +204,8 @@ class PagePipeline:
         self._bucket = width_bucket or single_bucket
         self._max_lines = max_lines_per_batch
         self._max_components = max_components
+        self._multigrid = multigrid
+        self._solidify = solidify
 
     # -- detection ------------------------------------------------------------
 
@@ -198,6 +222,8 @@ class PagePipeline:
             crop_hw=(crop_h, crop_w),
             threshold=self._params.text_threshold,
             max_components=self._max_components,
+            multigrid=self._multigrid,
+            solidify=self._solidify,
         )
         return tables, (page_w / crop_w, page_h / crop_h)
 

@@ -231,13 +231,19 @@ def reference_bucket(width: int) -> int:
     return ((width + 49) // 50) * 50
 
 
-#: Lane-aligned (128x) width-bucket ladders. Extra padding is BLACK and
-#: decoded characters falling in it are clipped (recognition.rs:271-276), so
-#: bucket choice changes compute shape, not results. Measured guidance:
-#: fewer buckets -> fewer dispatch/sync rounds, which outweighs padded
-#: compute on both the latency path (single_bucket) and the batched
-#: throughput path (COARSE_WIDTH_LADDER); the fine ladder remains useful
-#: when batches are consistently full per bucket.
+#: Lane-aligned (128x) width-bucket ladders. Decoded characters falling in
+#: the BLACK right-padding are clipped (recognition.rs:271-276); note however
+#: that for recurrent recognizers the padding is not fully inert — a backward
+#: GRU traverses the padding frames before reaching content, so hidden states
+#: (and in principle decoded text) can depend on padding length. The shipped
+#: recognizer is trained with randomized right-padding so decode results are
+#: padding-robust (regression-tested in tests/test_models.py); strict
+#: bit-parity with reference-converted weights requires `reference_bucket`,
+#: the law those weights saw at inference. Measured guidance: fewer buckets
+#: -> fewer dispatch/sync rounds, which outweighs padded compute on both the
+#: latency path (single_bucket) and the batched throughput path
+#: (COARSE_WIDTH_LADDER); the fine ladder remains useful when batches are
+#: consistently full per bucket.
 TPU_WIDTH_LADDER: tuple[int, ...] = (128, 256, 384, 512, 768, 1024, 1536, 2048, 2432)
 COARSE_WIDTH_LADDER: tuple[int, ...] = (1216, 2432)
 
@@ -435,6 +441,12 @@ class TextRecognizer:
         rec_lines: list[_RecLine] = []
         for index, words in enumerate(lines):
             poly = line_polygon(words)
+            # The POLYGON's bounding rect is the coordinate base for the crop
+            # and the char-rect back-mapping (recognition.rs:248-249 uses
+            # `line.region.bounding_rect()`); the resized width, however, is
+            # computed from the WORDS' integral bounding rect
+            # (recognition.rs:432-436). The two can differ by ~1px from
+            # polygon-vertex rounding.
             rect = Rect.from_tlbr(
                 float(poly[:, 1].min()),
                 float(poly[:, 0].min()),
@@ -446,7 +458,7 @@ class TextRecognizer:
                 _RecLine(
                     index=index,
                     poly=poly,
-                    rect=lr,
+                    rect=rect,
                     resized_width=resized_line_width(
                         lr.width, lr.height, self._input_height
                     ),

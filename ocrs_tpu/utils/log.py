@@ -20,3 +20,7 @@ def log(msg: str, *args) -> None:
 
 def debug(msg: str, *args) -> None:
     logger.debug(msg, *args)
+
+
+def warn(msg: str, *args) -> None:
+    logger.warning(msg, *args)

@@ -111,6 +111,28 @@ def test_device_rects_vs_host_on_rotated_blob():
     assert np.allclose(d.center, h.center, atol=0.5)
 
 
+def test_device_rects_component_overflow_keeps_kept_rects_exact():
+    """When a mask has more components than max_components, the kept rects
+    must stay correct (the last kept one must NOT absorb the dropped
+    components' points) and the overflow must be reported."""
+    from ocrs_tpu.ops.connected_components import label_components_device
+    from ocrs_tpu.ops.rects import min_area_rects_device
+
+    mask = np.zeros((16, 64), dtype=bool)
+    for i in range(5):  # five 3x3 blobs spaced 12px apart
+        mask[4:7, 2 + 12 * i : 5 + 12 * i] = True
+    labels = label_components_device(jnp.asarray(mask), solidify=False)
+    table = jax.device_get(min_area_rects_device(labels, max_components=3))
+    assert int(table["dropped"]) == 2
+    kept = [i for i in range(3) if table["valid"][i]]
+    assert len(kept) == 3
+    for i in kept:
+        # Every kept rect must span exactly its own 3x3 blob (extent 2.0 of
+        # pixel centres), not a 17px-wide union with the dropped blobs.
+        assert float(table["w"][i]) <= 3.0, table
+        assert float(table["h"][i]) <= 3.0, table
+
+
 # ---------------------------------------------------------------------------
 # warp / line extraction
 # ---------------------------------------------------------------------------
