@@ -107,13 +107,12 @@ def bench_screenshot_latency() -> dict:
     det_w = weights_dir / "text-detection.npz"
     rec_w = weights_dir / "text-recognition.npz"
     if det_w.exists() and rec_w.exists():
-        from ocrs_tpu.models.weights import load_params
+        from ocrs_tpu.models.weights import load_params, load_detection_model, load_recognition_model
         from ocrs_tpu.train.data import render_page
 
-        dp, dm = load_params(det_w)
-        rp, rm = load_params(rec_w)
-        det = DetectionModel(dp, tuple(dm.get("input_hw", (800, 608))))
-        rec = RecognitionModel(rp)
+        _, rm = load_params(rec_w)
+        det = load_detection_model(det_w)
+        rec = load_recognition_model(rec_w)
         alphabet = rm.get("alphabet", DEFAULT_ALPHABET)
         rng = np.random.default_rng(3)
         img = (
@@ -229,13 +228,12 @@ def main() -> None:
     if det_w.exists() and rec_w.exists():
         # Fully real e2e: trained models on rendered 300-dpi text pages —
         # no oracle anywhere in the measured graph.
-        from ocrs_tpu.models.weights import load_params
+        from ocrs_tpu.models.weights import load_params, load_detection_model, load_recognition_model
         from ocrs_tpu.train.data import render_page
 
-        dp, dm = load_params(det_w)
-        rp, rm = load_params(rec_w)
-        det_model = DetectionModel(dp, tuple(dm.get("input_hw", (800, 608))))
-        rec = RecognitionModel(rp)
+        _, rm = load_params(rec_w)
+        det_model = load_detection_model(det_w)
+        rec = load_recognition_model(rec_w)
         alphabet = rm.get("alphabet", DEFAULT_ALPHABET)
         rng = np.random.default_rng(0)
         pages = np.stack(

@@ -28,10 +28,10 @@ def main() -> None:
     image_path = sys.argv[1]
 
     if len(sys.argv) >= 4:
-        det_params, det_meta = load_params(fetch_model(sys.argv[2]))
-        rec_params, _ = load_params(fetch_model(sys.argv[3]))
-        detection_model = DetectionModel(det_params, tuple(det_meta.get("input_hw", (800, 608))))
-        recognition_model = RecognitionModel(rec_params)
+        from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
+
+        detection_model = load_detection_model(sys.argv[2])
+        recognition_model = load_recognition_model(sys.argv[3])
     else:
         print("(no weights given: using random weights — output will be noise)")
         detection_model = DetectionModel.create(0)

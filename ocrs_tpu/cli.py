@@ -106,7 +106,6 @@ def build_parser() -> argparse.ArgumentParser:
 def _load_models(args):
     from .models.detection_net import DetectionModel
     from .models.recognition_net import RecognitionModel
-    from .models.weights import fetch_model, load_params
 
     if args.fake_models:
         from .engine import DEFAULT_ALPHABET
@@ -135,11 +134,12 @@ def _load_models(args):
                 "uses .npz weights; train them with tools/train_models.py, or "
                 "pass --random-weights for a smoke test with untrained models)"
             )
-    det_params, det_meta = load_params(fetch_model(args.detect_model))
-    rec_params, rec_meta = load_params(fetch_model(args.rec_model))
-    det = DetectionModel(det_params, tuple(det_meta.get("input_hw", (800, 608))))
-    rec = RecognitionModel(rec_params)
-    return det, rec
+    from .models.weights import load_detection_model, load_recognition_model
+
+    return (
+        load_detection_model(args.detect_model),
+        load_recognition_model(args.rec_model),
+    )
 
 
 def main(argv=None) -> int:

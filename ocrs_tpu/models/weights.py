@@ -85,6 +85,23 @@ def load_params(path: str | Path) -> tuple[Any, dict]:
     return _unflatten(flat), meta
 
 
+def load_recognition_model(source: str | Path):
+    """Construct a RecognitionModel from a weight file, honoring the
+    architecture recorded in the file's metadata ("arch": crnn | convctc)."""
+    from .recognition_net import RecognitionModel
+
+    params, meta = load_params(fetch_model(str(source)))
+    return RecognitionModel(params, arch=meta.get("arch", "crnn"))
+
+
+def load_detection_model(source: str | Path):
+    """Construct a DetectionModel from a weight file (input size from meta)."""
+    from .detection_net import DetectionModel
+
+    params, meta = load_params(fetch_model(str(source)))
+    return DetectionModel(params, tuple(meta.get("input_hw", (800, 608))))
+
+
 def fetch_model(source: str) -> Path:
     """Resolve a model source to a local file.
 

@@ -2,26 +2,37 @@
 
 The reference's models are trained in the external ocrs-models repo on the
 HierText dataset (README.md:16-19). A complete framework owns a data path;
-since this environment has no dataset access, this module renders synthetic
-supervised data with PIL:
+since this environment has no dataset access, this module provides
+supervised data from the styled synthetic renderer
+(:mod:`ocrs_tpu.train.render`), which covers fonts x sizes x polarities x
+gray levels x blur/noise/JPEG x layouts and pushes every sample through the
+inference pipeline's own geometry (pad/resize squeeze for detection,
+polygon-masked crops for recognition).
 
-  * :func:`render_line` — a normalized text-line image + CTC label sequence
-    for recognition training (height 64, variable width).
-  * :func:`render_page` — a page image + text mask for detection training.
-  * :func:`recognition_batches` — an infinite generator of fixed-shape
-    padded batches ready for `train.make_recognition_train_step`.
+Two access patterns:
 
-Real-dataset loaders plug in at the same generator interface.
+  * streaming generators (:func:`recognition_batches`,
+    :func:`detection_batches`) — render on the fly; simple, used by tests
+    and small runs.
+  * cached datasets (:class:`RecognitionDataset`, :class:`DetectionDataset`)
+    — pre-render once into RAM (optionally persisted to ``_build/``), then
+    draw randomized batches with cheap per-batch augmentation. This is how
+    the real training runs feed the TPU from the single host core.
+
+Real-dataset loaders would plug in at the same batch interfaces.
 """
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
 from ..engine import DEFAULT_ALPHABET
 from ..preprocess import BLACK_VALUE
+from . import render as R
 
 
 def _font(size: int = 48):
@@ -39,7 +50,10 @@ def render_line(
     rng: Optional[np.random.Generator] = None,
     invert: bool = False,
 ) -> np.ndarray:
-    """Render `text` as a normalized greyscale line image [height, W]."""
+    """Render `text` as a normalized greyscale line image [height, W].
+
+    Plain single-font renderer kept for tests/debugging; training data comes
+    from :mod:`ocrs_tpu.train.render`."""
     from PIL import Image, ImageDraw
 
     font = _font(int(height * 0.7))
@@ -69,132 +83,157 @@ def random_text(rng: np.random.Generator, alphabet: str, min_len=3, max_len=18) 
     return "".join(rng.choice(pool) for _ in range(n)).strip() or "a"
 
 
-def _scale_augment(line: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Downscale-then-upscale augmentation: in the OCR pipeline, line crops
-    are extracted from pages where text is often much smaller than the 64px
-    recognition height, so the model must read blurry upsampled glyphs."""
-    from PIL import Image
-
-    h, w = line.shape
-    factor = float(rng.uniform(0.35, 1.0))
-    if factor > 0.95:
-        return line
-    small_h = max(int(h * factor), 8)
-    small_w = max(int(w * factor), 4)
-    img = Image.fromarray(((line - BLACK_VALUE) * 255).astype(np.uint8))
-    img = img.resize((small_w, small_h), Image.BILINEAR).resize((w, h), Image.BILINEAR)
-    return np.asarray(img, np.float32) / 255.0 + BLACK_VALUE
+# ---------------------------------------------------------------------------
+# Recognition batches
+# ---------------------------------------------------------------------------
 
 
-def _render_pipeline_line(
-    rng: np.random.Generator,
+def _place_sample(
+    images: np.ndarray,
+    labels: np.ndarray,
+    lengths: np.ndarray,
+    i: int,
+    crop: np.ndarray,
+    text: str,
     alphabet: str,
-    width_budget: int,
-    out_h: int = 64,
-    max_chars: int = 24,
-) -> tuple[np.ndarray, str]:
-    """Render a multi-word line and push it through the ACTUAL inference
-    crop transform: per-word detection-style rects (expanded, jittered),
-    line polygon, polygon-masked crop, aspect-preserving resize
-    (ocrs_tpu.recognition.prepare_text_line_host). Training samples then
-    match the pipeline's crop distribution exactly — including the black
-    polygon-mask wedges where neighbouring word heights differ."""
-    from PIL import Image, ImageDraw
-
-    from ..geometry import Rect, RotatedRect
-    from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
-
-    # Fonts span the full range of line heights the pipeline produces:
-    # small fonts exercise the upscale path, large fonts (line height above
-    # the 64px recognition input) the downscale path seen with high-dpi
-    # scans.
-    font_size = int(rng.integers(14, 100))
-    font = _font(font_size)
-    canvas_h = font_size * 3 + 24
-    canvas_w = 3072
-    img = Image.new("L", (canvas_w, canvas_h), 255)
-    draw = ImageDraw.Draw(img)
-    y = canvas_h // 3
-    x = 16
-    rects: list[RotatedRect] = []
-    texts: list[str] = []
-    est_h = font_size + 8
-    for _ in range(int(rng.integers(1, 5))):
-        word = random_text(rng, alphabet, 2, 8).replace(" ", "") or "a"
-        if len(" ".join(texts + [word])) > max_chars:
-            break
-        x0, y0, x1, y1 = draw.textbbox((x, y), word, font=font)
-        # Stop before the resized line overflows the width budget.
-        if resized_line_width(x1 - 16 + 6, est_h, out_h) > width_budget:
-            break
-        draw.text((x, y), word, font=font, fill=0)
-        # Detection-style word rect: expanded ~3px with jitter.
-        e = float(rng.uniform(2.0, 4.5))
-        jx = float(rng.uniform(-1.5, 1.5))
-        jy = float(rng.uniform(-1.5, 1.5))
-        rects.append(
-            RotatedRect.from_rect(
-                Rect.from_tlbr(y0 - e + jy, x0 - e + jx, y1 + e + jy, x1 + e + jx)
-            )
-        )
-        texts.append(word)
-        x = int(x1) + int(rng.integers(10, 36))
-    if not rects:
-        draw.text((16, y), "a", font=font, fill=0)
-        x0, y0, x1, y1 = draw.textbbox((16, y), "a", font=font)
-        rects = [RotatedRect.from_rect(Rect.from_tlbr(y0 - 3, x0 - 3, y1 + 3, x1 + 3))]
-        texts = ["a"]
-
-    page = np.asarray(img, np.float32) / 255.0 + BLACK_VALUE
-    if rng.random() < 0.3:
-        page = np.clip(
-            page + rng.normal(0.0, 0.02, page.shape).astype(np.float32),
-            BLACK_VALUE,
-            BLACK_VALUE + 1.0,
-        )
-    poly = line_polygon(rects)
-    lr_w = float(poly[:, 0].max() - poly[:, 0].min())
-    lr_h = float(poly[:, 1].max() - poly[:, 1].min())
-    rw = min(resized_line_width(lr_w, lr_h, out_h), width_budget)
-    crop = prepare_text_line_host(page[None], poly, rw, out_h)
-    return crop, " ".join(texts)
+) -> None:
+    lab = labels_for(text, alphabet)[: labels.shape[1]]
+    w = min(crop.shape[1], images.shape[3])
+    images[i, 0, :, :w] = crop[:, :w]
+    labels[i, : len(lab)] = lab
+    lengths[i] = len(lab)
 
 
 def recognition_batches(
     batch_size: int,
-    width: int = 512,
+    width: int = 768,
     alphabet: str = DEFAULT_ALPHABET,
-    max_label_len: int = 24,
+    max_label_len: int = 40,
     seed: int = 0,
-    augment: bool = False,
+    augment: bool = True,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Infinite generator of (images [B,1,64,width], labels [B,L],
-    label_lengths [B]) recognition training batches.
-
-    With ``augment=True`` half the samples go through the pipeline-accurate
-    crop transform (detection-style rects + polygon masking + aspect
-    resize) and the rest are clean rendered lines with scale augmentation."""
+    label_lengths [B]) recognition training batches from the styled
+    pipeline-accurate renderer. ``augment=False`` is accepted for API
+    compatibility (the styles themselves carry the augmentation)."""
     rng = np.random.default_rng(seed)
     while True:
         images = np.full((batch_size, 1, 64, width), BLACK_VALUE, np.float32)
         labels = np.zeros((batch_size, max_label_len), np.int32)
         lengths = np.zeros((batch_size,), np.int32)
         for i in range(batch_size):
-            if augment and rng.random() < 0.6:
-                line, text = _render_pipeline_line(
-                    rng, alphabet, width, max_chars=max_label_len
-                )
-            else:
-                text = random_text(rng, alphabet)
-                line = render_line(text, rng=rng)
-                if augment:
-                    line = _scale_augment(line, rng)
-            lab = labels_for(text, alphabet)[:max_label_len]
-            w = min(line.shape[1], width)
-            images[i, 0, :, :w] = line[:, :w]
-            labels[i, : len(lab)] = lab
-            lengths[i] = len(lab)
+            # Mostly full-budget lines; a share of deliberately short ones so
+            # every padding length appears in training (padding robustness).
+            budget = (
+                width if rng.random() < 0.7 else int(rng.integers(64, width + 1))
+            )
+            crop, text = R.render_recognition_sample(
+                rng, width_budget=budget, alphabet=alphabet, max_chars=max_label_len
+            )
+            _place_sample(images, labels, lengths, i, crop, text, alphabet)
+            if lengths[i] == 0:  # all chars unsupported (shouldn't happen)
+                images[i] = BLACK_VALUE
+                labels[i, 0] = 1
+                lengths[i] = 1
         yield images, labels, lengths
+
+
+class RecognitionDataset:
+    """Pre-rendered recognition samples cached in RAM (u8 crops + texts).
+
+    ``cache_path`` (an .npz) persists the rendered set across runs so
+    hyperparameter iterations don't pay the render cost again."""
+
+    def __init__(
+        self,
+        n_samples: int,
+        width: int = 768,
+        alphabet: str = DEFAULT_ALPHABET,
+        max_label_len: int = 40,
+        seed: int = 0,
+        cache_path: Optional[str | Path] = None,
+        log_every: int = 0,
+    ):
+        self.width = width
+        self.alphabet = alphabet
+        self.max_label_len = max_label_len
+        if cache_path is not None and Path(cache_path).exists():
+            data = np.load(cache_path, allow_pickle=True)
+            self._flat = data["flat"]
+            self._offsets = data["offsets"]
+            self._widths = data["widths"]
+            self._texts = list(data["texts"])
+            return
+        rng = np.random.default_rng(seed)
+        crops_u8: list[np.ndarray] = []
+        texts: list[str] = []
+        for k in range(n_samples):
+            budget = width if rng.random() < 0.7 else int(rng.integers(64, width + 1))
+            crop, text = R.render_recognition_sample(
+                rng, width_budget=budget, alphabet=alphabet, max_chars=max_label_len
+            )
+            crops_u8.append(
+                np.clip((crop - BLACK_VALUE) * 255.0, 0, 255).astype(np.uint8)
+            )
+            texts.append(text)
+            if log_every and (k + 1) % log_every == 0:
+                print(f"  rendered {k + 1}/{n_samples} lines", flush=True)
+        widths = np.array([c.shape[1] for c in crops_u8], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(widths * 64)])
+        flat = np.concatenate([c.reshape(-1) for c in crops_u8])
+        self._flat, self._offsets, self._widths, self._texts = (
+            flat,
+            offsets,
+            widths,
+            texts,
+        )
+        if cache_path is not None:
+            Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                cache_path,
+                flat=flat,
+                offsets=offsets,
+                widths=widths,
+                texts=np.array(texts, dtype=object),
+            )
+
+    def __len__(self) -> int:
+        return len(self._widths)
+
+    def get(self, i: int) -> tuple[np.ndarray, str]:
+        w = int(self._widths[i])
+        a = self._flat[self._offsets[i] : self._offsets[i + 1]].reshape(64, w)
+        return a.astype(np.float32) / 255.0 + BLACK_VALUE, self._texts[i]
+
+    def batches(
+        self, batch_size: int, seed: int = 0, noise: float = 0.015
+    ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Infinite randomized batches with cheap per-batch photometric
+        augmentation (fresh noise/brightness per epoch pass)."""
+        rng = np.random.default_rng(seed)
+        n = len(self)
+        while True:
+            idx = rng.integers(0, n, size=batch_size)
+            images = np.full((batch_size, 1, 64, self.width), BLACK_VALUE, np.float32)
+            labels = np.zeros((batch_size, self.max_label_len), np.int32)
+            lengths = np.zeros((batch_size,), np.int32)
+            for row, i in enumerate(idx):
+                crop, text = self.get(int(i))
+                if noise > 0:
+                    crop = crop + rng.normal(
+                        0.0, rng.uniform(0.0, noise), crop.shape
+                    ).astype(np.float32)
+                    crop = np.clip(crop, BLACK_VALUE, BLACK_VALUE + 1.0)
+                _place_sample(images, labels, lengths, row, crop, text, self.alphabet)
+                if lengths[row] == 0:
+                    labels[row, 0] = 1
+                    lengths[row] = 1
+            yield images, labels, lengths
+
+
+# ---------------------------------------------------------------------------
+# Detection pages
+# ---------------------------------------------------------------------------
 
 
 def render_page(
@@ -205,9 +244,10 @@ def render_page(
     return_words: bool = False,
     font_size: int = 22,
 ):
-    """A normalized page image and its word-level text mask, for detection
-    training (BCE+dice over [1, H, W]). With ``return_words`` also returns
-    the ground-truth word records ``(text, (t, l, b, r))`` for evaluation."""
+    """Plain page renderer (black text on white at the given size) kept for
+    unit tests; training pages come from :func:`ocrs_tpu.train.render.
+    render_detection_sample`. With ``return_words`` also returns word records
+    ``(text, (t, l, b, r))``."""
     from PIL import Image, ImageDraw
 
     h, w = page_hw
@@ -227,15 +267,10 @@ def render_page(
             if x1 > w - 20:
                 break
             draw.text((x, y), word, font=font, fill=0)
-            # Shrunk label mask: the detector is trained to mark a slightly
-            # smaller area than the true word box so adjacent words stay
-            # separable; post-processing expands rects back (the reference's
-            # models are trained the same way — detection.rs:108-117).
+            # Shrunk label mask (under-segmentation; detection.rs:108-117).
             sh = 2
             mask[int(y0) + sh : int(y1) + 1 - sh, int(x0) + sh : int(x1) + 1 - sh] = 1.0
             words_out.append((word, (int(y0), int(x0), int(y1), int(x1))))
-            # Inter-word gap scales with the font so the page statistics are
-            # resolution-invariant after the detector's fixed-input downscale.
             x = int(x1) + int(rng.integers(max(12, font_size // 2), max(30, int(font_size * 1.4))))
         y += int(rng.integers(int(font_size * 1.8), int(font_size * 3.2)))
     arr = np.asarray(img, np.float32) / 255.0 + BLACK_VALUE
@@ -249,11 +284,76 @@ def detection_batches(
     page_hw: tuple[int, int] = (800, 608),
     seed: int = 0,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """Infinite generator of (images [B,1,H,W], masks [B,1,H,W])."""
+    """Infinite generator of (images [B,1,H,W], masks [B,1,H,W]) styled
+    detection samples at detector resolution (native render -> pipeline
+    pad/squeeze law -> shrunk word-core mask)."""
     rng = np.random.default_rng(seed)
     while True:
         imgs = np.zeros((batch_size, 1, *page_hw), np.float32)
         masks = np.zeros((batch_size, 1, *page_hw), np.float32)
         for i in range(batch_size):
-            imgs[i], masks[i] = render_page(rng, page_hw)
+            s = R.render_detection_sample(rng, det_hw=page_hw)
+            imgs[i, 0] = s.image
+            masks[i, 0] = s.mask
         yield imgs, masks
+
+
+class DetectionDataset:
+    """Pre-rendered detection samples cached in RAM (u8 images + packed
+    masks), optionally persisted to an .npz."""
+
+    def __init__(
+        self,
+        n_samples: int,
+        page_hw: tuple[int, int] = (800, 608),
+        seed: int = 0,
+        cache_path: Optional[str | Path] = None,
+        log_every: int = 0,
+    ):
+        self.page_hw = tuple(page_hw)
+        if cache_path is not None and Path(cache_path).exists():
+            data = np.load(cache_path)
+            self._images = data["images"]
+            self._masks_packed = data["masks"]
+            return
+        rng = np.random.default_rng(seed)
+        h, w = self.page_hw
+        images = np.zeros((n_samples, h, w), np.uint8)
+        masks = np.zeros((n_samples, (h * w + 7) // 8), np.uint8)
+        for k in range(n_samples):
+            s = R.render_detection_sample(rng, det_hw=self.page_hw)
+            images[k] = np.clip((s.image - BLACK_VALUE) * 255.0, 0, 255).astype(np.uint8)
+            masks[k] = np.packbits(s.mask.astype(bool).reshape(-1))
+            if log_every and (k + 1) % log_every == 0:
+                print(f"  rendered {k + 1}/{n_samples} pages", flush=True)
+        self._images = images
+        self._masks_packed = masks
+        if cache_path is not None:
+            Path(cache_path).parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(cache_path, images=images, masks=masks)
+
+    def __len__(self) -> int:
+        return len(self._images)
+
+    def batches(
+        self, batch_size: int, seed: int = 0, noise: float = 0.015
+    ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng(seed)
+        h, w = self.page_hw
+        n = len(self)
+        while True:
+            idx = rng.integers(0, n, size=batch_size)
+            imgs = (
+                self._images[idx].astype(np.float32) / 255.0 + BLACK_VALUE
+            )[:, None]
+            if noise > 0:
+                imgs = imgs + rng.normal(
+                    0.0, rng.uniform(0.0, noise), imgs.shape
+                ).astype(np.float32)
+                imgs = np.clip(imgs, BLACK_VALUE, BLACK_VALUE + 1.0)
+            masks = (
+                np.unpackbits(self._masks_packed[idx], axis=1)[:, : h * w]
+                .reshape(batch_size, 1, h, w)
+                .astype(np.float32)
+            )
+            yield imgs, masks

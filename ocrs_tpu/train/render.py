@@ -1,0 +1,697 @@
+"""Styled synthetic-document renderer for training data.
+
+The reference's models are trained on HierText — real photographs and
+screenshots with every polarity, font, size and degradation
+(/root/reference/README.md:16-19). This environment has no dataset access,
+so this module is the framework's substitute: a renderer whose OUTPUT
+DISTRIBUTION is deliberately wide (fonts x sizes x polarities x gray levels
+x blur/noise/JPEG x layouts) and whose GEOMETRY goes through the exact same
+transforms the inference pipeline applies:
+
+  * detection samples are rendered at realistic native page sizes and then
+    pushed through the reference pad-then-resize law (detection.rs:148-171)
+    with the same non-antialiased half-pixel bilinear kernel the detector
+    sees at inference (ocrs_tpu.ops.resize), so the model trains on the
+    exact anisotropic squeeze (e.g. a 2320-px-wide screenshot squeezed 3.8x
+    horizontally into a 608-px input);
+  * recognition samples go through detection-style expanded/jittered word
+    rects, the line polygon, the polygon-masked crop and the aspect resize
+    (ocrs_tpu.recognition.prepare_text_line_host), with jitter magnitudes
+    covering the rect-expansion scaling of squeezed pages.
+
+Everything renders in greyscale: the inference pipeline's first step is the
+BT.601 grayscale transform (preprocess.rs:171), so any colored text/background
+pair the real world produces reaches the models as a pair of gray levels —
+sampling those levels directly covers colored inputs exactly.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..engine import DEFAULT_ALPHABET
+from ..preprocess import BLACK_VALUE
+
+# ---------------------------------------------------------------------------
+# Font bank
+# ---------------------------------------------------------------------------
+
+_FONT_CANDIDATES = (
+    # (directory, filename) pairs; every face listed covers DEFAULT_ALPHABET
+    # fully (verified via fontTools cmap at module init — missing faces are
+    # skipped silently so the renderer works on leaner systems).
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+    "matplotlib:DejaVuSans-Oblique.ttf",
+    "matplotlib:DejaVuSans-BoldOblique.ttf",
+    "matplotlib:DejaVuSerif-Italic.ttf",
+    "matplotlib:DejaVuSerif-BoldItalic.ttf",
+    "matplotlib:DejaVuSansMono-Oblique.ttf",
+    "matplotlib:DejaVuSansMono-BoldOblique.ttf",
+    "matplotlib:STIXGeneral.ttf",
+    "matplotlib:STIXGeneralBol.ttf",
+    "matplotlib:STIXGeneralItalic.ttf",
+    "matplotlib:STIXGeneralBolIta.ttf",
+)
+
+
+def _matplotlib_font_dir() -> Optional[str]:
+    try:
+        import matplotlib
+
+        return str(
+            __import__("pathlib").Path(matplotlib.get_data_path()) / "fonts" / "ttf"
+        )
+    except Exception:
+        return None
+
+
+@lru_cache(maxsize=1)
+def font_paths() -> tuple[str, ...]:
+    """Available font files whose cmap covers the full default alphabet."""
+    import os
+
+    mpl_dir = _matplotlib_font_dir()
+    paths = []
+    for cand in _FONT_CANDIDATES:
+        if cand.startswith("matplotlib:"):
+            if mpl_dir is None:
+                continue
+            path = os.path.join(mpl_dir, cand.split(":", 1)[1])
+        else:
+            path = cand
+        if not os.path.exists(path):
+            continue
+        try:
+            from fontTools.ttLib import TTFont
+
+            cmap = TTFont(path, lazy=True).getBestCmap()
+            if any(ord(c) not in cmap for c in DEFAULT_ALPHABET):
+                continue
+        except Exception:
+            pass  # no fontTools: trust the curated list
+        paths.append(path)
+    if not paths:
+        raise RuntimeError("no usable fonts found for synthetic rendering")
+    return tuple(paths)
+
+
+@lru_cache(maxsize=512)
+def get_font(path: str, size: int):
+    from PIL import ImageFont
+
+    return ImageFont.truetype(path, size)
+
+
+# ---------------------------------------------------------------------------
+# Text content
+# ---------------------------------------------------------------------------
+
+# A compact everyday-English vocabulary (hand-written, not sourced from the
+# reference) so rendered documents have realistic word shapes, letter
+# frequencies, ascender/descender mixes and word lengths.
+_VOCAB = (
+    "the of and to in is was for on that with as are be at by this have from "
+    "or had not but what all were when we there can an your which their said "
+    "if do will each about how up out them then she many some so these would "
+    "other into has more her two like him see time could no make than first "
+    "been its who now people my made over did down only way find use may "
+    "water long little very after words called just where most know get "
+    "through back much before also around another came come work three word "
+    "must because does part even place well such here take why things help "
+    "put years different away again off went old number great tell men say "
+    "small every found still between name should home big give air line set "
+    "own under read last never us left end along while might next sound "
+    "below saw something thought both few those always show large often "
+    "together asked house world going want school important until form food "
+    "keep children feet land side without boy once animals life enough took "
+    "sometimes four head above kind began almost live page got earth need "
+    "far hand high year mother light parts country father let night follow "
+    "being study second eyes soon times story boys since white days ever "
+    "paper hard near sentence better best across during today others however "
+    "sure means knew it's try told young miles sun ways thing whole hear "
+    "example heard several change answer room against top turned learn point "
+    "city play toward five using himself usually money seen didn't car "
+    "morning given order red door sea became grow cut note notes nothing "
+    "perhaps system software memory language type model fast safe power run "
+    "runs running build built code error errors tool tools support data "
+    "device devices service services compile compiler integrate embedded "
+    "documentation friendly useful message messages smart manager package "
+    "auto editor completion inspections formatter guarantee rich ownership "
+    "classes bugs eliminate enabling reliability performance productivity "
+    "blazingly efficient runtime garbage collector critical easily other "
+    "languages studies status population century directly descended related "
+    "closely particularly estimated lineage split brown polar bears bear "
+    "fossil fossils uncommon oldest known bone found surmised scientists "
+    "supported derivative finding possibly eastern western northern southern "
+    "island islands study century thread safety compile-time"
+).split()
+
+_SENTENCE_PUNCT = ".,;:!?"
+_WRAPPERS = (("(", ")"), ("[", "]"), ('"', '"'), ("'", "'"), ("{", "}"), ("<", ">"))
+
+
+def sample_word(rng: np.random.Generator, alphabet: str = DEFAULT_ALPHABET) -> str:
+    """One realistic token: vocab word / number / citation / decorated word."""
+    r = rng.random()
+    if r < 0.55:
+        w = _VOCAB[int(rng.integers(len(_VOCAB)))]
+        style = rng.random()
+        if style < 0.12:
+            w = w.capitalize()
+        elif style < 0.15:
+            w = w.upper()
+    elif r < 0.68:
+        # Numbers: years, thousands-separated, decimals, ranges, percents.
+        kind = rng.random()
+        if kind < 0.3:
+            w = str(int(rng.integers(1000, 2100)))
+        elif kind < 0.55:
+            n = int(rng.integers(1, 999))
+            w = f"{n},{int(rng.integers(0, 999)):03d}"
+            if rng.random() < 0.4:
+                w += f",{int(rng.integers(0, 999)):03d}"
+            if rng.random() < 0.3:
+                w += "-"
+        elif kind < 0.7:
+            w = f"{rng.integers(0, 100)}.{rng.integers(0, 99)}"
+        elif kind < 0.85:
+            w = f"{int(rng.integers(1, 99))}%"
+        else:
+            w = str(int(rng.integers(0, 9999)))
+    elif r < 0.76:
+        # Citation clusters like [12][15] or (20)(1).
+        open_c, close_c = _WRAPPERS[int(rng.integers(0, 2))]
+        parts = [
+            f"{open_c}{int(rng.integers(1, 30))}{close_c}"
+            for _ in range(int(rng.integers(1, 3)))
+        ]
+        w = "".join(parts)
+    elif r < 0.86:
+        # Hyphenated / apostrophe / slashed compounds.
+        a = _VOCAB[int(rng.integers(len(_VOCAB)))]
+        b = _VOCAB[int(rng.integers(len(_VOCAB)))]
+        sep = rng.choice(["-", "'", "/", "_"], p=[0.55, 0.25, 0.15, 0.05])
+        w = f"{a}{sep}{b}" if sep != "'" else f"{a}'s"
+    else:
+        # Random character soup (keeps rare symbols trained).
+        pool = [c for c in alphabet if c != " "]
+        n = int(rng.integers(2, 9))
+        w = "".join(rng.choice(pool) for _ in range(n))
+
+    # Attach sentence punctuation / wrappers.
+    deco = rng.random()
+    if deco < 0.18:
+        w = w + _SENTENCE_PUNCT[int(rng.integers(len(_SENTENCE_PUNCT)))]
+    elif deco < 0.24:
+        open_c, close_c = _WRAPPERS[int(rng.integers(len(_WRAPPERS)))]
+        w = f"{open_c}{w}{close_c}"
+    elif deco < 0.27:
+        w = w + '."'
+    return "".join(c for c in w if c in alphabet) or "a"
+
+
+# ---------------------------------------------------------------------------
+# Styles
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Style:
+    """Visual style shared by a page or a line."""
+
+    font_path: str
+    bg: float  # background gray level in [0, 1]
+    fg: float  # ink gray level in [0, 1]
+    alt_fg: Optional[float]  # per-word alternate ink (e.g. hyperlink blue)
+    alt_fg_prob: float
+    blur_sigma: float
+    noise_sigma: float
+    jpeg_quality: Optional[int]
+    contrast: float  # post-hoc contrast multiplier
+    brightness: float  # post-hoc brightness shift
+
+
+def sample_style(rng: np.random.Generator, hard: bool = False) -> Style:
+    """Draw a style. ``hard=True`` biases toward low contrast + degradations."""
+    fonts = font_paths()
+    bg = float(rng.uniform(0.0, 1.0))
+    min_contrast = 0.15 if hard else 0.25
+    contrast_mag = float(rng.uniform(min_contrast, 1.0))
+    # Ink darker or lighter than background with equal probability, clipped
+    # to [0,1] while preserving at least min_contrast separation.
+    if rng.random() < 0.5:
+        fg = bg - contrast_mag
+        if fg < 0.0:
+            fg = min(bg + contrast_mag, 1.0) if bg + contrast_mag <= 1.0 else 0.0
+    else:
+        fg = bg + contrast_mag
+        if fg > 1.0:
+            fg = max(bg - contrast_mag, 0.0) if bg - contrast_mag >= 0.0 else 1.0
+    alt = None
+    if rng.random() < 0.35:
+        # Alternate ink level (links/colored words): same side of bg,
+        # still readable.
+        direction = 1.0 if fg > bg else -1.0
+        alt = float(np.clip(bg + direction * rng.uniform(min_contrast, 1.0), 0.0, 1.0))
+    return Style(
+        font_path=fonts[int(rng.integers(len(fonts)))],
+        bg=bg,
+        fg=float(np.clip(fg, 0.0, 1.0)),
+        alt_fg=alt,
+        alt_fg_prob=float(rng.uniform(0.1, 0.4)),
+        blur_sigma=float(rng.uniform(0.0, 1.4)) if rng.random() < 0.45 else 0.0,
+        noise_sigma=float(rng.uniform(0.0, 0.04)) if rng.random() < 0.5 else 0.0,
+        jpeg_quality=int(rng.integers(35, 92)) if rng.random() < 0.25 else None,
+        contrast=float(rng.uniform(0.85, 1.1)),
+        brightness=float(rng.uniform(-0.05, 0.05)),
+    )
+
+
+def degrade(arr01: np.ndarray, rng: np.random.Generator, style: Style) -> np.ndarray:
+    """Apply blur / JPEG / noise / contrast to a [H, W] float image in [0,1]."""
+    from PIL import Image, ImageFilter
+
+    out = arr01
+    if style.blur_sigma > 0.05 or style.jpeg_quality is not None:
+        img = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
+        if style.blur_sigma > 0.05:
+            img = img.filter(ImageFilter.GaussianBlur(style.blur_sigma))
+        if style.jpeg_quality is not None:
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG", quality=style.jpeg_quality)
+            buf.seek(0)
+            img = Image.open(buf).convert("L")
+        out = np.asarray(img, np.float32) / 255.0
+    out = (out - 0.5) * style.contrast + 0.5 + style.brightness
+    if style.noise_sigma > 0:
+        out = out + rng.normal(0.0, style.noise_sigma, out.shape).astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Host-exact pipeline resize (numpy twin of ocrs_tpu.ops.resize)
+# ---------------------------------------------------------------------------
+
+
+def resize_half_pixel_np(img: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """Bilinear resize with the ONNX half-pixel convention, NO antialiasing —
+    the exact kernel the detector sees at inference (ops/resize.py). Gather
+    formulation (4 taps/output px) so native-res pages downscale in ~ms."""
+    out_h, out_w = out_hw
+    in_h, in_w = img.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return img.astype(np.float32)
+
+    def taps(in_size, out_size):
+        if in_size == out_size:
+            idx = np.arange(in_size)
+            return idx, idx, np.zeros(in_size, np.float32)
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+        lo = np.floor(src).astype(np.int64)
+        frac = (src - lo).astype(np.float32)
+        return np.clip(lo, 0, in_size - 1), np.clip(lo + 1, 0, in_size - 1), frac
+
+    y0, y1, fy = taps(in_h, out_h)
+    x0, x1, fx = taps(in_w, out_w)
+    a = img[y0] * (1.0 - fy)[:, None] + img[y1] * fy[:, None]  # [out_h, in_w]
+    out = a[:, x0] * (1.0 - fx)[None, :] + a[:, x1] * fx[None, :]
+    return out.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Word drawing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WordBox:
+    text: str
+    # tight text bbox in canvas coordinates (t, l, b, r), float
+    box: tuple[float, float, float, float]
+
+
+def draw_line_of_words(
+    draw,
+    rng: np.random.Generator,
+    style: Style,
+    font,
+    x: float,
+    y: float,
+    max_x: float,
+    max_words: int,
+    alphabet: str = DEFAULT_ALPHABET,
+    superscript_prob: float = 0.12,
+) -> list[WordBox]:
+    """Draw words left-to-right from (x, y=baseline-top) until ``max_x``.
+
+    Returns the word boxes (tight text bboxes). Occasionally appends a
+    raised, smaller citation cluster (superscript) to a word, mirroring
+    wiki-style references.
+    """
+    font_size = font.size
+    boxes: list[WordBox] = []
+    sup_font = None
+    for _ in range(max_words):
+        word = sample_word(rng, alphabet)
+        x0, y0, x1, y1 = draw.textbbox((x, y), word, font=font)
+        if x1 > max_x:
+            break
+        fg = style.fg
+        if style.alt_fg is not None and rng.random() < style.alt_fg_prob:
+            fg = style.alt_fg
+        draw.text((x, y), word, font=font, fill=int(round(fg * 255)))
+        box = (float(y0), float(x0), float(y1), float(x1))
+        text = word
+        if rng.random() < superscript_prob:
+            if sup_font is None:
+                sup_font = get_font(style.font_path, max(int(font_size * 0.62), 7))
+            cite = "".join(
+                f"[{int(rng.integers(1, 30))}]" for _ in range(int(rng.integers(1, 3)))
+            )
+            sy = y - font_size * 0.12
+            sx0, sy0, sx1, sy1 = draw.textbbox((x1 + 1, sy), cite, font=sup_font)
+            if sx1 <= max_x:
+                draw.text((x1 + 1, sy), cite, font=sup_font, fill=int(round(fg * 255)))
+                text = word + cite
+                box = (min(box[0], sy0), box[1], max(box[2], sy1), float(sx1))
+        boxes.append(WordBox(text, box))
+        x = box[3] + float(rng.uniform(0.28, 0.85)) * font_size
+    return boxes
+
+
+# ---------------------------------------------------------------------------
+# Recognition samples
+# ---------------------------------------------------------------------------
+
+
+def render_recognition_sample(
+    rng: np.random.Generator,
+    width_budget: int,
+    out_h: int = 64,
+    alphabet: str = DEFAULT_ALPHABET,
+    max_chars: int = 40,
+) -> tuple[np.ndarray, str]:
+    """One (crop [out_h, <=width_budget] float normalized, text) pair through
+    the pipeline-exact crop transform.
+
+    The crop geometry mirrors inference end-to-end: detection-style word
+    rects (expanded by the scale-dependent amount squeezed pages produce,
+    plus jitter), line polygon, polygon-masked copy with BLACK outside,
+    aspect resize to the recognizer height (recognition.rs:91-126 semantics
+    via prepare_text_line_host).
+    """
+    from PIL import Image, ImageDraw
+
+    from ..geometry import Rect, RotatedRect
+    from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
+
+    style = sample_style(rng, hard=rng.random() < 0.15)
+    font_size = int(rng.integers(9, 80))
+    font = get_font(style.font_path, font_size)
+    canvas_h = font_size * 3 + 24
+    canvas_w = 3400
+    img = Image.new("L", (canvas_w, canvas_h), int(round(style.bg * 255)))
+    draw = ImageDraw.Draw(img)
+    y = canvas_h // 3
+
+    # Estimate a canvas width that will fit in the resized-width budget.
+    est_h = font_size * 1.35 + 8
+    budget_canvas_w = width_budget / max(out_h / est_h, 1e-3) + 40
+
+    boxes = draw_line_of_words(
+        draw,
+        rng,
+        style,
+        font,
+        x=16.0,
+        y=float(y),
+        max_x=min(canvas_w - 20.0, 16.0 + budget_canvas_w),
+        max_words=int(rng.integers(1, 8)),
+        alphabet=alphabet,
+    )
+    texts = []
+    total = 0
+    kept: list[WordBox] = []
+    for wb in boxes:
+        if total + len(wb.text) + 1 > max_chars:
+            break
+        kept.append(wb)
+        texts.append(wb.text)
+        total += len(wb.text) + 1
+    if not kept:
+        draw.text((16, y), "a", font=font, fill=int(round(style.fg * 255)))
+        bb = draw.textbbox((16, y), "a", font=font)
+        kept = [WordBox("a", (float(bb[1]), float(bb[0]), float(bb[3]), float(bb[2])))]
+        texts = ["a"]
+
+    page = degrade(np.asarray(img, np.float32) / 255.0, rng, style) + BLACK_VALUE
+
+    # Detection-style rects: at inference these come from the detector mask,
+    # expanded 3 px per side at MODEL resolution — in page coordinates that
+    # expansion scales with the page/model resize factor (up to ~4x
+    # horizontally for wide screenshots). Jitter additionally covers the
+    # detector's own boundary noise.
+    ex_scale = float(rng.uniform(1.0, 4.0))
+    ey_scale = float(rng.uniform(0.8, 1.6))
+    rects = []
+    for wb in kept:
+        t, l, b, r = wb.box
+        e_x = 3.0 * ex_scale + float(rng.uniform(-1.5, 1.5))
+        e_y = 3.0 * ey_scale + float(rng.uniform(-1.5, 1.5))
+        jx = float(rng.uniform(-1.5, 1.5))
+        jy = float(rng.uniform(-1.5, 1.5))
+        rects.append(
+            RotatedRect.from_rect(
+                Rect.from_tlbr(t - e_y + jy, l - e_x + jx, b + e_y + jy, r + e_x + jx)
+            )
+        )
+
+    poly = line_polygon(rects)
+    lr_w = float(poly[:, 0].max() - poly[:, 0].min())
+    lr_h = float(poly[:, 1].max() - poly[:, 1].min())
+    rw = min(resized_line_width(lr_w, lr_h, out_h), width_budget)
+    crop = prepare_text_line_host(page[None], poly, rw, out_h)
+    return crop, " ".join(texts)
+
+
+# ---------------------------------------------------------------------------
+# Detection samples
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DetectionSample:
+    """One detector-input training sample (already at model resolution)."""
+
+    image: np.ndarray  # [in_h, in_w] float32 normalized (BLACK_VALUE offset)
+    mask: np.ndarray  # [in_h, in_w] float32 {0, 1} shrunk word-core mask
+    words: list[tuple[str, tuple[float, float, float, float]]]  # det-res boxes
+    native_hw: tuple[int, int]
+
+
+def _page_size(rng: np.random.Generator) -> tuple[int, int]:
+    """Native page sizes spanning the aspect/scale regimes the detector
+    sees: wide screenshots (heavy horizontal squeeze), tall article pages,
+    small screenshots (pad-only), banner strips (pad + squeeze)."""
+    r = rng.random()
+    if r < 0.35:  # wide screenshot
+        w = int(rng.integers(1400, 2800))
+        h = int(rng.integers(500, 1400))
+    elif r < 0.55:  # tall page
+        w = int(rng.integers(700, 1400))
+        h = int(rng.integers(900, 2000))
+    elif r < 0.75:  # near-model-size or smaller (pad path)
+        w = int(rng.integers(320, 608))
+        h = int(rng.integers(240, 800))
+    elif r < 0.9:  # banner strip: very wide, short
+        w = int(rng.integers(1200, 2400))
+        h = int(rng.integers(160, 420))
+    else:  # moderate
+        w = int(rng.integers(600, 1200))
+        h = int(rng.integers(400, 900))
+    return h, w
+
+
+def _draw_distractors(draw, rng: np.random.Generator, style: Style, w: int, h: int):
+    """Non-text graphics the detector must learn to ignore: rules, underline
+    bars, boxes, filled panels."""
+    n = int(rng.integers(0, 5))
+    for _ in range(n):
+        kind = rng.random()
+        level = int(round(float(np.clip(style.fg + rng.uniform(-0.3, 0.3), 0, 1)) * 255))
+        if kind < 0.4:  # horizontal rule / underline bar
+            y = int(rng.integers(0, h))
+            x0 = int(rng.integers(0, max(w - 60, 1)))
+            x1 = x0 + int(rng.integers(40, max(min(w - x0, 600), 41)))
+            draw.rectangle([x0, y, x1, y + int(rng.integers(2, 14))], fill=level)
+        elif kind < 0.6:  # vertical rule
+            x = int(rng.integers(0, w))
+            y0 = int(rng.integers(0, max(h - 60, 1)))
+            y1 = y0 + int(rng.integers(40, max(min(h - y0, 600), 41)))
+            draw.rectangle([x, y0, x + int(rng.integers(1, 8)), y1], fill=level)
+        elif kind < 0.8:  # outline box
+            x0 = int(rng.integers(0, max(w - 80, 1)))
+            y0 = int(rng.integers(0, max(h - 60, 1)))
+            draw.rectangle(
+                [x0, y0, x0 + int(rng.integers(60, 400)), y0 + int(rng.integers(40, 300))],
+                outline=level,
+                width=int(rng.integers(1, 5)),
+            )
+        else:  # filled panel (its own background card)
+            x0 = int(rng.integers(0, max(w - 120, 1)))
+            y0 = int(rng.integers(0, max(h - 80, 1)))
+            lvl = int(round(float(np.clip(style.bg + rng.uniform(-0.25, 0.25), 0, 1)) * 255))
+            draw.rectangle(
+                [x0, y0, x0 + int(rng.integers(80, 500)), y0 + int(rng.integers(60, 400))],
+                fill=lvl,
+            )
+
+
+def render_native_page(
+    rng: np.random.Generator,
+    page_hw: Optional[tuple[int, int]] = None,
+    alphabet: str = DEFAULT_ALPHABET,
+) -> tuple[np.ndarray, list[tuple[str, tuple[float, float, float, float]]]]:
+    """Render a full styled page at NATIVE resolution.
+
+    Returns (float [H, W] in [0, 1], word records) where each record is
+    (text, (t, l, b, r)) in native coordinates. Layout: 1-3 columns of
+    heading/paragraph blocks, distractor graphics, optional no-text pages.
+    """
+    from PIL import Image, ImageDraw
+
+    h, w = page_hw if page_hw is not None else _page_size(rng)
+    style = sample_style(rng, hard=rng.random() < 0.1)
+    img = Image.new("L", (w, h), int(round(style.bg * 255)))
+    draw = ImageDraw.Draw(img)
+
+    words_out: list[tuple[str, tuple[float, float, float, float]]] = []
+
+    _draw_distractors(draw, rng, style, w, h)
+
+    if rng.random() < 0.04:  # occasional text-free page (hard negatives)
+        return degrade(np.asarray(img, np.float32) / 255.0, rng, style), words_out
+
+    n_cols = int(rng.integers(1, 4)) if w > 900 else 1
+    col_gap = int(rng.uniform(30, 90))
+    col_w = (w - 40 - col_gap * (n_cols - 1)) // n_cols
+    body_size = int(rng.integers(12, 42))
+
+    for col in range(n_cols):
+        cx = 20 + col * (col_w + col_gap)
+        y = float(rng.integers(14, 60))
+        while True:
+            # Block: heading (short, big) or paragraph (several lines).
+            is_heading = rng.random() < 0.25
+            f_size = (
+                int(body_size * rng.uniform(1.5, 2.8)) if is_heading else body_size
+            )
+            font = get_font(style.font_path, f_size)
+            line_step = f_size * float(rng.uniform(1.25, 1.95))
+            n_lines = 1 if is_heading else int(rng.integers(1, 7))
+            for _ in range(n_lines):
+                if y + f_size * 1.4 > h - 8:
+                    break
+                boxes = draw_line_of_words(
+                    draw,
+                    rng,
+                    style,
+                    font,
+                    x=float(cx),
+                    y=y,
+                    max_x=float(cx + col_w),
+                    max_words=2 if is_heading else 12,
+                    alphabet=alphabet,
+                    superscript_prob=0.08 if not is_heading else 0.0,
+                )
+                words_out.extend((b.text, b.box) for b in boxes)
+                y += line_step
+            y += f_size * float(rng.uniform(0.5, 1.6))  # block gap
+            if y + body_size * 1.6 > h - 8:
+                break
+
+    return degrade(np.asarray(img, np.float32) / 255.0, rng, style), words_out
+
+
+#: The reference detector's fixed input (see models/detection_net.py).
+_DET_HW = (800, 608)
+
+
+def detection_sample_from_native(
+    page01: np.ndarray,
+    words: Sequence[tuple[str, tuple[float, float, float, float]]],
+    det_hw: tuple[int, int] = _DET_HW,
+) -> DetectionSample:
+    """Push a native page through the inference pad-then-resize law and build
+    the shrunk word-core target mask at detector resolution.
+
+    Mirrors detection.rs:148-171 / ocrs_tpu.detection._pre: pad bottom/right
+    with BLACK to at least the model size, then half-pixel bilinear resize
+    (non-antialiased) to the model size. Word boxes map through the same
+    affine scale. The mask shrink is proportional to the box's detector-res
+    size (clamped), teaching under-segmentation that survives the 4x
+    horizontal squeeze of wide pages (post-processing re-expands;
+    detection.rs:108-117)."""
+    in_h, in_w = det_hw
+    h, w = page01.shape
+    pad_h = max(in_h - h, 0)
+    pad_w = max(in_w - w, 0)
+    padded_hw = (h + pad_h, w + pad_w)
+    black01 = 0.0  # BLACK_VALUE in [0,1] space is 0.0 (see preprocess)
+    if pad_h or pad_w:
+        padded = np.full(padded_hw, black01, np.float32)
+        padded[:h, :w] = page01
+    else:
+        padded = page01
+    det_img = resize_half_pixel_np(padded, det_hw)
+
+    sy = in_h / padded_hw[0]
+    sx = in_w / padded_hw[1]
+    mask = np.zeros(det_hw, np.float32)
+    words_det: list[tuple[str, tuple[float, float, float, float]]] = []
+    for text, (t, l, b, r) in words:
+        t2, b2 = t * sy, b * sy
+        l2, r2 = l * sx, r * sx
+        bh, bw = b2 - t2, r2 - l2
+        if bh < 1.2 or bw < 1.0:
+            continue  # sub-pixel text: invisible to the detector
+        shrink_y = float(np.clip(0.18 * bh, 0.6, 2.5))
+        shrink_x = float(np.clip(0.18 * bw, 0.5, 2.5))
+        mt = int(round(t2 + shrink_y))
+        mb = int(round(b2 - shrink_y))
+        ml = int(round(l2 + shrink_x))
+        mr = int(round(r2 - shrink_x))
+        if mb <= mt:
+            mt = int(round((t2 + b2) / 2 - 0.5))
+            mb = mt + 1
+        if mr <= ml:
+            ml = int(round((l2 + r2) / 2 - 0.5))
+            mr = ml + 1
+        mask[max(mt, 0) : max(mb, 0), max(ml, 0) : max(mr, 0)] = 1.0
+        words_det.append((text, (t2, l2, b2, r2)))
+
+    return DetectionSample(
+        image=det_img + BLACK_VALUE,
+        mask=mask,
+        words=words_det,
+        native_hw=(h, w),
+    )
+
+
+def render_detection_sample(
+    rng: np.random.Generator,
+    det_hw: tuple[int, int] = _DET_HW,
+    alphabet: str = DEFAULT_ALPHABET,
+) -> DetectionSample:
+    page01, words = render_native_page(rng, alphabet=alphabet)
+    return detection_sample_from_native(page01, words, det_hw)

@@ -57,16 +57,15 @@ class TrainState:
 
 
 def _shard_leaf_specs_recognition(params: Any) -> Any:
-    """PartitionSpecs for the recognition params: shard the projection/head
-    output dims and GRU input projections over "model"; replicate the rest."""
+    """PartitionSpecs for the recognition params: shard the wide matmuls'
+    output dims over "model" (projection/head/feed-forward for both arches,
+    GRU input projections for the crnn); replicate the rest."""
 
     def spec_for(path: tuple, leaf) -> P:
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         joined = "/".join(str(n) for n in names)
         if leaf.ndim == 2:
-            if "head" in joined or "proj" in joined:
-                return P(None, "model")
-            if "wx" in joined:
+            if any(tag in joined for tag in ("head", "proj", "wx", "ff1", "ff2")):
                 return P(None, "model")
         return P()
 
@@ -80,6 +79,7 @@ def replicated(mesh: Mesh):
 def make_recognition_train_step(
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
+    arch: str = "crnn",
 ) -> Callable[[TrainState, jax.Array, jax.Array, jax.Array], tuple[TrainState, jax.Array]]:
     """Build a jitted recognition train step over `mesh`.
 
@@ -87,9 +87,10 @@ def make_recognition_train_step(
     "model". Call with a TrainState whose arrays carry the matching
     shardings (see :func:`init_recognition_state`).
     """
+    apply_fn = recognition_net.ARCHS[arch][1]
 
     def loss_fn(params, images, labels, label_lengths):
-        logprobs = recognition_net.apply(params, images)  # [T, N, C]
+        logprobs = apply_fn(params, images)  # [T, N, C]
         return ctc_loss(logprobs, labels, label_lengths)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -110,10 +111,14 @@ def init_recognition_state(
     n_classes: int = 97,
     hidden: int = recognition_net.DEFAULT_HIDDEN,
     seed: int = 0,
+    arch: str = "crnn",
 ) -> TrainState:
     """Initialize recognition params + optimizer state with mesh shardings
     applied (tensor-parallel over "model" for the wide matrices)."""
-    params = recognition_net.init_params(jax.random.key(seed), n_classes, hidden)
+    if arch == "crnn":
+        params = recognition_net.init_params(jax.random.key(seed), n_classes, hidden)
+    else:
+        params = recognition_net.ARCHS[arch][0](jax.random.key(seed), n_classes)
     specs = _shard_leaf_specs_recognition(params)
     params = jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs

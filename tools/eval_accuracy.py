@@ -145,18 +145,17 @@ def main() -> int:
     args = parser.parse_args()
 
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
-    from ocrs_tpu.models.detection_net import DetectionModel
-    from ocrs_tpu.models.recognition_net import RecognitionModel
-    from ocrs_tpu.models.weights import load_params
+    from ocrs_tpu.models.weights import (
+        load_detection_model,
+        load_params,
+        load_recognition_model,
+    )
 
-    det_params, det_meta = load_params(args.detect)
-    rec_params, rec_meta = load_params(args.rec)
+    _, rec_meta = load_params(args.rec)
     engine = OcrEngine(
         OcrEngineParams(
-            detection_model=DetectionModel(
-                det_params, tuple(det_meta.get("input_hw", (800, 608)))
-            ),
-            recognition_model=RecognitionModel(rec_params),
+            detection_model=load_detection_model(args.detect),
+            recognition_model=load_recognition_model(args.rec),
             alphabet=rec_meta.get("alphabet"),
         )
     )

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Word-level accuracy of the full pipeline on the REFERENCE golden images.
+
+Runs the engine (trained weights) on the reference repo's own E2E oracle
+images (/root/reference/ocrs-cli/test-data/{why-rust,polar-bears}.png,
+harness semantics tools/test-e2e.py:63-79) and scores predicted text against
+the checked-in .expected.txt at the word level:
+
+  * multiset precision / recall / F1 over whitespace-split words
+    (order-insensitive — layout/read-order differences don't mask
+    recognition quality), plus
+  * case-insensitive variants, to separate casing errors from misreads.
+
+    python tools/eval_reference.py                       # shipped weights
+    python tools/eval_reference.py --detect D.npz --rec R.npz
+    python tools/eval_reference.py --show                # dump predictions
+
+Exit code is 0 iff both images reach --min-f1 (default 0.0 so the tool is
+usable for measurement; CI tiers pass an explicit threshold).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from collections import Counter
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+DEFAULT_DATA = Path("/root/reference/ocrs-cli/test-data")
+IMAGES = ("why-rust", "polar-bears")
+
+
+def word_prf(pred: str, expected: str, casefold: bool = False):
+    pw = pred.split()
+    ew = expected.split()
+    if casefold:
+        pw = [w.lower() for w in pw]
+        ew = [w.lower() for w in ew]
+    inter = sum((Counter(pw) & Counter(ew)).values())
+    p = inter / len(pw) if pw else 0.0
+    r = inter / len(ew) if ew else 0.0
+    f1 = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f1
+
+
+def build_engine(detect: str | None, rec: str | None, beam: bool):
+    from ocrs_tpu.engine import OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
+    from ocrs_tpu.recognition import BeamSearch, Greedy
+
+    weights_dir = REPO / "weights"
+    det = load_detection_model(detect or str(weights_dir / "text-detection.npz"))
+    rec = load_recognition_model(rec or str(weights_dir / "text-recognition.npz"))
+    return OcrEngine(
+        OcrEngineParams(
+            detection_model=det,
+            recognition_model=rec,
+            decode_method=BeamSearch(width=100) if beam else Greedy(),
+        )
+    )
+
+
+def run_image(engine, png_path: Path) -> str:
+    import numpy as np
+    from PIL import Image
+
+    from ocrs_tpu.preprocess import DimOrder, ImageSource
+
+    img = np.asarray(Image.open(png_path).convert("RGB"))
+    inp = engine.prepare_input(ImageSource.from_tensor(img, DimOrder.HWC))
+    return engine.get_text(inp)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--detect", default=None, help="detection weights (.npz)")
+    ap.add_argument("--rec", default=None, help="recognition weights (.npz)")
+    ap.add_argument("--data", default=str(DEFAULT_DATA), help="golden data dir")
+    ap.add_argument("--images", nargs="*", default=list(IMAGES))
+    ap.add_argument("--beam", action="store_true", help="beam decode (width 100)")
+    ap.add_argument("--show", action="store_true", help="print predicted text")
+    ap.add_argument("--min-f1", type=float, default=0.0)
+    args = ap.parse_args(argv)
+
+    engine = build_engine(args.detect, args.rec, args.beam)
+
+    data = Path(args.data)
+    results = {}
+    ok = True
+    for name in args.images:
+        expected = (data / f"{name}.expected.txt").read_text()
+        pred = run_image(engine, data / f"{name}.png")
+        if args.show:
+            print(f"--- {name} predicted ---\n{pred}\n---", file=sys.stderr)
+        p, r, f1 = word_prf(pred, expected)
+        pi, ri, f1i = word_prf(pred, expected, casefold=True)
+        results[name] = {
+            "precision": round(p, 4),
+            "recall": round(r, 4),
+            "f1": round(f1, 4),
+            "precision_ci": round(pi, 4),
+            "recall_ci": round(ri, 4),
+            "f1_ci": round(f1i, 4),
+            "pred_words": len(pred.split()),
+            "expected_words": len(expected.split()),
+        }
+        ok = ok and f1 >= args.min_f1
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, str(REPO))
+    raise SystemExit(main())

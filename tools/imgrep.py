@@ -46,10 +46,10 @@ def main() -> int:
     det_src = os.environ.get("OCRS_TPU_DETECT_MODEL")
     rec_src = os.environ.get("OCRS_TPU_REC_MODEL")
     if det_src and rec_src:
-        det_params, det_meta = load_params(fetch_model(det_src))
-        rec_params, _ = load_params(fetch_model(rec_src))
-        det = DetectionModel(det_params, tuple(det_meta.get("input_hw", (800, 608))))
-        rec = RecognitionModel(rec_params)
+        from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
+
+        det = load_detection_model(det_src)
+        rec = load_recognition_model(rec_src)
     else:
         print("warning: no model env vars set; using random weights", file=sys.stderr)
         det, rec = DetectionModel.create(0), RecognitionModel.create(0)

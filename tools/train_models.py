@@ -1,14 +1,17 @@
 #!/usr/bin/env python3
-"""Train the detection and recognition models on synthetic rendered data and
+"""Train the detection and recognition models on styled synthetic data and
 export deployable .npz weights.
 
-    python tools/train_models.py recognition --steps 4000 -o weights/text-recognition.npz
-    python tools/train_models.py detection   --steps 1200 -o weights/text-detection.npz
+    python tools/train_models.py recognition --arch convctc --steps 16000 \
+        --samples 60000 -o weights/text-recognition.npz
+    python tools/train_models.py detection --steps 4000 --samples 4000 \
+        -o weights/text-detection.npz
 
-These produce the weights consumed by the CLI's --detect-model/--rec-model
-and the engine examples. Synthetic-data quality: reads clean rendered text
-reliably; not a substitute for real-dataset training (the reference's models
-train on HierText), but makes the full pipeline usable out of the box.
+Data comes from ocrs_tpu.train.render (fonts x polarities x gray levels x
+degradations x pipeline-exact geometry; see that module's docstring) and is
+pre-rendered once into a RAM/disk cache so the single host core can feed the
+TPU. Validation: greedy-decode CER on a held-out styled set (recognition) /
+mask F1 (detection), printed during training.
 """
 
 from __future__ import annotations
@@ -19,14 +22,44 @@ from pathlib import Path
 
 import numpy as np
 
+REPO = Path(__file__).resolve().parent.parent
+CACHE_DIR = REPO / "_build" / "datacache"
+
+
+def _greedy_cer(logprobs_tnc, labels, lengths, alphabet) -> float:
+    """Character error rate of greedy CTC decode vs labels."""
+    from ocrs_tpu.ops.ctc import collapse_greedy_batch
+
+    import jax.numpy as jnp
+
+    lab = np.asarray(jnp.argmax(logprobs_tnc, axis=-1)).T  # [N, T]
+    decoded = collapse_greedy_batch(lab)
+    total = err = 0
+    for steps, ref_lab, ref_len in zip(decoded, labels, lengths):
+        hyp = [s.label for s in steps]
+        ref = list(ref_lab[: int(ref_len)])
+        # Levenshtein distance.
+        dp = list(range(len(ref) + 1))
+        for i, h in enumerate(hyp, 1):
+            prev = dp[0]
+            dp[0] = i
+            for j, r in enumerate(ref, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (h != r))
+                prev = cur
+        err += dp[-1]
+        total += max(len(ref), 1)
+    return err / max(total, 1)
+
 
 def train_recognition(args) -> None:
     import jax
     import optax
 
     from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models import recognition_net
     from ocrs_tpu.models.weights import save_params
-    from ocrs_tpu.train.data import recognition_batches
+    from ocrs_tpu.train.data import RecognitionDataset
     from ocrs_tpu.train.train import (
         init_recognition_state,
         make_mesh,
@@ -35,30 +68,69 @@ def train_recognition(args) -> None:
     )
 
     n_classes = len(DEFAULT_ALPHABET) + 1
+    cache = (
+        Path(args.cache)
+        if args.cache
+        else CACHE_DIR / f"rec_{args.samples}_{args.width}_s{args.data_seed}.npz"
+    )
+    print(f"dataset: {args.samples} lines (cache {cache})", flush=True)
+    t0 = time.time()
+    ds = RecognitionDataset(
+        args.samples,
+        width=args.width,
+        alphabet=DEFAULT_ALPHABET,
+        max_label_len=args.max_label_len,
+        seed=args.data_seed,
+        cache_path=cache,
+        log_every=5000,
+    )
+    print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} lines)", flush=True)
+    #
+
+    # Held-out validation set (different seed, streaming renderer).
+    from ocrs_tpu.train.data import recognition_batches
+
+    val_imgs, val_labels, val_lengths = next(
+        recognition_batches(
+            args.val_size,
+            width=args.width,
+            max_label_len=args.max_label_len,
+            seed=args.data_seed + 7919,
+        )
+    )
+
     mesh = make_mesh()
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=min(100, args.steps // 2 + 1), decay_steps=args.steps + 1
+        0.0, args.lr, warmup_steps=min(300, args.steps // 2 + 1), decay_steps=args.steps + 1
     )
-    optimizer = optax.adamw(schedule)
-    step_fn = make_recognition_train_step(mesh, optimizer)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-4)
+    )
+    step_fn = make_recognition_train_step(mesh, optimizer, arch=args.arch)
+    apply_fn = recognition_net.ARCHS[args.arch][1]
 
     with mesh:
         state = init_recognition_state(
-            mesh, optimizer, n_classes=n_classes, hidden=args.hidden
+            mesh, optimizer, n_classes=n_classes, hidden=args.hidden, arch=args.arch
         )
-        batches = recognition_batches(
-            args.batch, width=args.width, alphabet=DEFAULT_ALPHABET, augment=True
-        )
+        batches = ds.batches(args.batch, seed=args.data_seed + 1)
         t0 = time.time()
         for step in range(1, args.steps + 1):
             images, labels, lengths = next(batches)
             state, loss = step_fn(
                 state, *shard_batch(mesh, *map(np.asarray, (images, labels, lengths)))
             )
-            if step % 100 == 0 or step == 1:
+            if step % 200 == 0 or step == 1:
                 print(
-                    f"[recognition] step {step:5d}  loss {float(loss):8.3f}  "
+                    f"[recognition/{args.arch}] step {step:6d}  loss {float(loss):8.3f}  "
                     f"({time.time() - t0:.0f}s)",
+                    flush=True,
+                )
+            if step % args.val_every == 0 or step == args.steps:
+                lp = apply_fn(state.params, val_imgs)
+                cer = _greedy_cer(lp, val_labels, val_lengths, DEFAULT_ALPHABET)
+                print(
+                    f"[recognition/{args.arch}] step {step:6d}  val CER {cer:.4f}",
                     flush=True,
                 )
         out = Path(args.output)
@@ -68,10 +140,11 @@ def train_recognition(args) -> None:
             jax.device_get(state.params),
             meta={
                 "kind": "recognition",
+                "arch": args.arch,
                 "hidden": args.hidden,
                 "n_classes": n_classes,
                 "alphabet": DEFAULT_ALPHABET,
-                "trained_on": "synthetic rendered text (ocrs_tpu.train.data)",
+                "trained_on": "styled synthetic rendered text (ocrs_tpu.train.render)",
                 "steps": args.steps,
             },
         )
@@ -84,7 +157,7 @@ def train_detection(args) -> None:
 
     from ocrs_tpu.models.detection_net import DEFAULT_INPUT_HW
     from ocrs_tpu.models.weights import save_params
-    from ocrs_tpu.train.data import detection_batches
+    from ocrs_tpu.train.data import DetectionDataset
     from ocrs_tpu.train.train import (
         init_detection_state,
         make_detection_train_step,
@@ -92,23 +165,38 @@ def train_detection(args) -> None:
         shard_batch,
     )
 
+    cache = (
+        Path(args.cache)
+        if args.cache
+        else CACHE_DIR / f"det_{args.samples}_s{args.data_seed}.npz"
+    )
+    print(f"dataset: {args.samples} pages (cache {cache})", flush=True)
+    t0 = time.time()
+    ds = DetectionDataset(
+        args.samples, page_hw=DEFAULT_INPUT_HW, seed=args.data_seed, cache_path=cache,
+        log_every=500,
+    )
+    print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} pages)", flush=True)
+
     mesh = make_mesh()
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=min(50, args.steps // 2 + 1), decay_steps=args.steps + 1
+        0.0, args.lr, warmup_steps=min(150, args.steps // 2 + 1), decay_steps=args.steps + 1
     )
-    optimizer = optax.adamw(schedule)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0), optax.adamw(schedule, weight_decay=1e-4)
+    )
     step_fn = make_detection_train_step(mesh, optimizer)
 
     with mesh:
         state = init_detection_state(mesh, optimizer)
-        batches = detection_batches(args.batch, page_hw=DEFAULT_INPUT_HW)
+        batches = ds.batches(args.batch, seed=args.data_seed + 1)
         t0 = time.time()
         for step in range(1, args.steps + 1):
             images, masks = next(batches)
             state, loss = step_fn(
                 state, *shard_batch(mesh, *map(np.asarray, (images, masks)))
             )
-            if step % 50 == 0 or step == 1:
+            if step % 100 == 0 or step == 1:
                 print(
                     f"[detection] step {step:5d}  loss {float(loss):8.4f}  "
                     f"({time.time() - t0:.0f}s)",
@@ -122,7 +210,7 @@ def train_detection(args) -> None:
             meta={
                 "kind": "detection",
                 "input_hw": list(DEFAULT_INPUT_HW),
-                "trained_on": "synthetic rendered pages (ocrs_tpu.train.data)",
+                "trained_on": "styled synthetic rendered pages (ocrs_tpu.train.render)",
                 "steps": args.steps,
             },
         )
@@ -132,16 +220,24 @@ def train_detection(args) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("model", choices=["recognition", "detection"])
-    parser.add_argument("--steps", type=int, default=4000)
-    parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--width", type=int, default=512)
+    parser.add_argument("--arch", default="convctc", choices=["crnn", "convctc"])
+    parser.add_argument("--steps", type=int, default=16000)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--width", type=int, default=768)
     parser.add_argument("--hidden", type=int, default=192)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--samples", type=int, default=60000)
+    parser.add_argument("--max-label-len", type=int, default=40)
+    parser.add_argument("--val-size", type=int, default=256)
+    parser.add_argument("--val-every", type=int, default=2000)
+    parser.add_argument("--data-seed", type=int, default=0)
+    parser.add_argument("--cache", default=None, help="dataset cache .npz path")
     parser.add_argument("-o", "--output", required=True)
     args = parser.parse_args()
     if args.model == "recognition":
         train_recognition(args)
     else:
+        args.batch = min(args.batch, 16)
         train_detection(args)
 
 
