@@ -30,18 +30,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..detection import EXPAND_DIST, TextDetectorParams
+from ..detection import EXPAND_DIST, TextDetectorParams, _tile_offsets
+from ..errors import WrongOutputError
 from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
-from ..ops.ctc import collapse_greedy_batch, greedy_labels
+from ..ops.ctc import beam_decode, collapse_greedy_batch, greedy_labels
 from ..ops.rects import min_area_rects_device, rect_table_to_host
 from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch, pad_chain
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
 from ..recognition import (
     single_bucket,
+    DecodeMethod,
+    Greedy,
     MAX_CHAIN_V,
     _LineResult,
     _RecLine,
@@ -49,6 +52,7 @@ from ..recognition import (
     _text_lines_from_results,
     ladder_bucket,
     line_polygon,
+    mask_excluded,
     resized_line_width,
 )
 from ..text_items import TextLine
@@ -91,7 +95,14 @@ def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
     static_argnames=("crop_hw", "threshold", "max_components", "multigrid", "solidify"),
 )
 def _masks_to_tables(
-    probs: jax.Array, *, crop_hw, threshold, max_components, multigrid=True, solidify=True
+    probs: jax.Array,
+    *,
+    crop_hw,
+    threshold,
+    max_components,
+    multigrid=True,
+    solidify=True,
+    max_boundary=65536,
 ):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
@@ -119,9 +130,41 @@ def _masks_to_tables(
             min_area_rects_device,
             max_components=max_components,
             max_points=256,
-            max_boundary=65536,
+            max_boundary=max_boundary,
         )
     )(labels)
+
+
+@partial(jax.jit, static_argnames=("input_hw", "offsets"))
+def _extract_tiles_batch(pages: jax.Array, *, input_hw, offsets) -> jax.Array:
+    """[B, H, W] pages -> [B*T, 1, th, tw] overlapping tiles (T per page)."""
+    th, tw = input_hw
+    b, h, w = pages.shape
+    pad_b = max(th - h, 0)
+    pad_r = max(tw - w, 0)
+    if pad_b or pad_r:
+        pages = jnp.pad(
+            pages, ((0, 0), (0, pad_b), (0, pad_r)), constant_values=BLACK_VALUE
+        )
+    tiles = jnp.stack(
+        [pages[:, y : y + th, x : x + tw] for (y, x) in offsets], axis=1
+    )  # [B, T, th, tw]
+    return tiles.reshape(b * len(offsets), 1, th, tw)
+
+
+@partial(jax.jit, static_argnames=("page_hw", "offsets", "batch"))
+def _stitch_tiles_batch(probs: jax.Array, *, page_hw, offsets, batch) -> jax.Array:
+    """[B*T, 1, th, tw] tile probabilities -> [B, H, W] max-blended pages."""
+    h, w = page_hw
+    t = len(offsets)
+    _, _, th, tw = probs.shape
+    probs = probs.reshape(batch, t, th, tw)
+    out_h = max(h, th + max(y for y, _ in offsets))
+    out_w = max(w, tw + max(x for _, x in offsets))
+    out = jnp.zeros((batch, out_h, out_w), probs.dtype)
+    for i, (y, x) in enumerate(offsets):
+        out = out.at[:, y : y + th, x : x + tw].max(probs[:, i])
+    return out[:, :h, :w]
 
 
 def _scale_rotated_rect(rect: RotatedRect, sx: float, sy: float) -> RotatedRect:
@@ -179,6 +222,11 @@ class PagePipeline:
         mesh=None,
         multigrid: bool = True,
         solidify: bool = True,
+        decode_method: Optional[DecodeMethod] = None,
+        allowed_chars: Optional[str] = None,
+        tiled_detection: bool = False,
+        tile_overlap: int = 64,
+        debug: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis. When given,
         the page batch is sharded over it and every jitted stage runs SPMD
@@ -187,7 +235,17 @@ class PagePipeline:
         `multigrid`/`solidify` control connected-component labelling (see
         _masks_to_tables): the defaults are the fast path; pass both False to
         match the single-image engine's exact host connectivity on dense
-        pages where closing+pooling could merge adjacent words."""
+        pages where closing+pooling could merge adjacent words.
+
+        `decode_method`/`allowed_chars` mirror the single-image engine's
+        options (lib.rs:38-71): beam search decodes on host from the full
+        log-prob tensors; excluded characters are masked to -inf on device
+        before decoding (recognition.rs:547-561).
+
+        `tiled_detection`: for pages larger than the detector input, run the
+        detector over overlapping native-resolution tiles and post-process
+        at page resolution (keeps small text on 4K pages; engine counterpart
+        is detection_tiled)."""
         self._mesh = mesh
         self._det = detection_model
         self._rec = recognition_model
@@ -206,12 +264,28 @@ class PagePipeline:
         self._max_components = max_components
         self._multigrid = multigrid
         self._solidify = solidify
+        self._decode = decode_method if decode_method is not None else Greedy()
+        self._tiled = tiled_detection
+        self._tile_overlap = tile_overlap
+        self._debug = debug
+        # Label i (>=1) maps to alphabet[i-1]; excluded labels from the
+        # allowed set (lib.rs:153-170).
+        self._excluded_onehot: Optional[np.ndarray] = None
+        if allowed_chars is not None:
+            allowed = set(allowed_chars)
+            onehot = np.zeros((len(alphabet) + 1,), dtype=bool)
+            for i, ch in enumerate(alphabet):
+                if ch not in allowed:
+                    onehot[i + 1] = True
+            self._excluded_onehot = onehot
 
     # -- detection ------------------------------------------------------------
 
     def _detect_tables(self, pages_dev: jax.Array):
         b, page_h, page_w = pages_dev.shape
         in_h, in_w = self._det_hw
+        if self._tiled and (page_h > in_h or page_w > in_w):
+            return self._detect_tables_tiled(pages_dev)
         pad_bottom = max(in_h - page_h, 0)
         pad_right = max(in_w - page_w, 0)
         crop_h, crop_w = in_h - pad_bottom, in_w - pad_right
@@ -226,6 +300,34 @@ class PagePipeline:
             solidify=self._solidify,
         )
         return tables, (page_w / crop_w, page_h / crop_h)
+
+    def _detect_tables_tiled(self, pages_dev: jax.Array):
+        """Tiled detection at page resolution: every page's overlapping
+        native-resolution tiles run as ONE model batch [B*T, 1, th, tw];
+        probability maps are max-stitched per page and post-processed at
+        page resolution (scale = 1), so small text on 4K pages survives
+        (counterpart of detection._detect_text_pixels_tiled)."""
+        b, page_h, page_w = pages_dev.shape
+        offsets = _tile_offsets((page_h, page_w), self._det_hw, self._tile_overlap)
+        tiles = _extract_tiles_batch(pages_dev, input_hw=self._det_hw, offsets=offsets)
+        probs = self._det.run(tiles)  # [B*T, 1, th, tw]
+        page_probs = _stitch_tiles_batch(
+            probs, page_hw=(page_h, page_w), offsets=offsets, batch=b
+        )
+        # Page-resolution masks carry more boundary pixels than the detector
+        # input; scale the compaction buffers with the area ratio.
+        area_ratio = max((page_h * page_w) / (self._det_hw[0] * self._det_hw[1]), 1.0)
+        max_boundary = int(min(2 ** 20, 65536 * area_ratio))
+        tables = _masks_to_tables(
+            page_probs[:, None],
+            crop_hw=(page_h, page_w),
+            threshold=self._params.text_threshold,
+            max_components=self._max_components,
+            multigrid=self._multigrid,
+            solidify=self._solidify,
+            max_boundary=max_boundary,
+        )
+        return tables, (1.0, 1.0)
 
     def _tables_to_words(self, tables, scale) -> list[list[RotatedRect]]:
         sx, sy = scale
@@ -296,20 +398,29 @@ class PagePipeline:
             for i in range(0, len(group), self._max_lines):
                 batches.append((width, group[i : i + self._max_lines]))
 
+        greedy = isinstance(self._decode, Greedy)
         inflight = []
         for group_width, batch in batches:
-            labels = self._run_pooled_batch(pages_dev, batch, group_width)
+            if self._debug:
+                print(f"Processing group of {len(batch)} lines of width {group_width}")
+            out = self._run_pooled_batch(pages_dev, batch, group_width, greedy)
             try:
-                labels.copy_to_host_async()
+                out.copy_to_host_async()
             except AttributeError:
                 pass
-            inflight.append((group_width, batch, labels))
+            inflight.append((group_width, batch, out))
 
         per_page_results: list[list[_LineResult]] = [[] for _ in per_page_lines]
-        for group_width, batch, labels_dev in inflight:
-            labels = np.asarray(labels_dev)
-            ctc_input_len = labels.shape[1]
-            decoded = collapse_greedy_batch(labels)
+        for group_width, batch, out_dev in inflight:
+            host = np.asarray(out_dev)
+            ctc_input_len = host.shape[1]
+            if greedy:
+                decoded = collapse_greedy_batch(host)
+            else:
+                decoded = [
+                    beam_decode(host[i], self._decode.width)
+                    for i in range(len(batch))
+                ]
             for (pg, rl), steps in zip(batch, decoded):
                 per_page_results[pg].append(
                     _LineResult(
@@ -326,7 +437,7 @@ class PagePipeline:
             out.append(_text_lines_from_results(results, self._alphabet))
         return out
 
-    def _run_pooled_batch(self, pages_dev, batch, group_width):
+    def _run_pooled_batch(self, pages_dev, batch, group_width, greedy=True):
         n = len(batch)
         n_pad = _pad_batch_size(n, self._max_lines)
 
@@ -365,7 +476,18 @@ class PagePipeline:
             out_w=group_width,
         )
         logprobs = self._rec.run(crops)  # [T, n_pad, C]
-        return greedy_labels(jnp.transpose(logprobs, (1, 0, 2)))[:n]
+        n_classes = int(logprobs.shape[-1])
+        if len(self._alphabet) + 1 != n_classes:
+            raise WrongOutputError(
+                f"output column count ({n_classes}) does not match "
+                f"alphabet size ({len(self._alphabet) + 1})"
+            )
+        lp = jnp.transpose(logprobs, (1, 0, 2))  # [n_pad, T, C]
+        if self._excluded_onehot is not None:
+            lp = mask_excluded(lp, jnp.asarray(self._excluded_onehot[:n_classes]))
+        if greedy:
+            return greedy_labels(lp)[:n]
+        return lp[:n]
 
     # -- entry ------------------------------------------------------------------
 
@@ -388,11 +510,26 @@ class PagePipeline:
 
     def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:
         """Run OCR on pages already normalized and resident in HBM
-        ([B, H, W] float32 in [-0.5, 0.5])."""
-        tables, scale = self._detect_tables(pages_dev)
-        per_page_words = self._tables_to_words(tables, scale)
-        per_page_lines = [find_text_lines(words) for words in per_page_words]
-        per_page_text = self._recognize_pooled(pages_dev, per_page_lines)
+        ([B, H, W] float32 in [-0.5, 0.5]). With ``debug=True`` prints
+        per-stage wall timings like the engine's get_text."""
+        from ..utils.tracing import StageTimer
+
+        timer = StageTimer(debug=self._debug)
+        with timer.stage("detect"):
+            tables, scale = self._detect_tables(pages_dev)
+        with timer.stage("rects_to_host"):
+            per_page_words = self._tables_to_words(tables, scale)
+        with timer.stage("layout"):
+            per_page_lines = [find_text_lines(words) for words in per_page_words]
+        with timer.stage("recognize"):
+            per_page_text = self._recognize_pooled(pages_dev, per_page_lines)
+        if self._debug:
+            n_words = sum(len(w) for w in per_page_words)
+            n_lines = sum(len(l) for l in per_page_lines)
+            print(
+                f"[ocrs-tpu pipeline] {pages_dev.shape[0]} pages, {n_words} words, "
+                f"{n_lines} lines; " + timer.summary()
+            )
 
         return [
             PageResult(words=w, lines=l, text_lines=t)

@@ -89,3 +89,48 @@ def test_engine_with_real_models_runs():
     lines = engine.find_text_lines(inp, words)
     result = engine.recognize_text(inp, lines)
     assert len(result) == len(lines)
+
+
+def test_convctc_shapes_and_padding_invariance():
+    """The conv-only recognizer must (a) keep the [W/4, N, C] contract and
+    (b) be exactly invariant to right-padding length at every content frame
+    whose receptive field stays inside real pixels — the structural
+    improvement over the BiGRU for the width-bucket/padding interaction
+    flagged in round-1 ADVICE. (Frames within ~RF/2 of the array edge see
+    the conv zero-pad boundary instead of BLACK pixels and may differ;
+    training with randomized padding covers those.)"""
+    import jax
+
+    from ocrs_tpu.models import recognition_net as rn
+
+    params = rn.conv_init_params(jax.random.key(0), n_classes=97)
+    rng = np.random.default_rng(0)
+    content = rng.random((1, 1, 64, 128)).astype(np.float32) - 0.5
+    out = np.asarray(rn.conv_apply(params, content))
+    assert out.shape == (32, 1, 97)
+
+    short = np.full((1, 1, 64, 256), -0.5, np.float32)
+    long = np.full((1, 1, 64, 640), -0.5, np.float32)
+    short[..., :128] = content
+    long[..., :128] = content
+    # Frames 0..15 (input px 0..64) have their full ~340px receptive field
+    # inside the 256px-wide short input: exact equality required.
+    o_short = np.asarray(rn.conv_apply(params, short))[:16]
+    o_long = np.asarray(rn.conv_apply(params, long))[:16]
+    np.testing.assert_allclose(o_short, o_long, atol=1e-5)
+
+
+def test_recognition_model_arch_roundtrip(tmp_path):
+    """Weights saved with an arch record load back into the right apply fn."""
+    import jax
+
+    from ocrs_tpu.models import recognition_net as rn
+    from ocrs_tpu.models.weights import load_recognition_model, save_params
+
+    params = rn.conv_init_params(jax.random.key(1), n_classes=24)
+    path = tmp_path / "rec.npz"
+    save_params(path, params, meta={"kind": "recognition", "arch": "convctc"})
+    model = load_recognition_model(path)
+    assert model.arch == "convctc"
+    out = model.run(np.zeros((1, 1, 64, 64), np.float32))
+    assert out.shape == (16, 1, 24)

