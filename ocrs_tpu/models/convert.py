@@ -66,36 +66,67 @@ def _adapt(source: np.ndarray, target_shape: tuple[int, ...]) -> np.ndarray | No
     return None
 
 
-def convert_torch_state_dict(state_dict: dict, target_params: Any) -> Any:
-    """Map a PyTorch ``state_dict`` onto `target_params` by shape signature.
+def _name_hint_score(source_name: str, target_path: str) -> int:
+    """Affinity between a torch parameter name and a target leaf path.
 
-    Weights are consumed in declaration order; each target leaf takes the
-    first unconsumed source tensor that adapts to its shape. Raises with a
-    detailed report when coverage is not exact.
+    Disambiguates same-shaped tensors: GRU direction (``_reverse`` <-> bwd)
+    and role (``weight_ih``/``weight_hh``/``bias_ih``/``bias_hh`` <->
+    wx/wh/bx/bh). Shape-adaptable candidates with the highest score win;
+    ties fall back to source declaration order."""
+    score = 0
+    is_reverse = "reverse" in source_name
+    if "/bwd/" in target_path or target_path.endswith("bwd"):
+        score += 4 if is_reverse else -4
+    elif "/fwd/" in target_path:
+        score += 4 if not is_reverse else -4
+    leaf = target_path.rsplit("/", 1)[-1]
+    for token, tgt in (
+        ("weight_ih", "wx"),
+        ("weight_hh", "wh"),
+        ("bias_ih", "bx"),
+        ("bias_hh", "bh"),
+    ):
+        if token in source_name:
+            score += 4 if leaf == tgt else -4
+    return score
+
+
+def convert_torch_state_dict(state_dict: dict, target_params: Any) -> Any:
+    """Map a PyTorch ``state_dict`` onto `target_params` by shape signature
+    plus name hints.
+
+    Target leaves are traversed in sorted-path order (a JAX pytree's
+    canonical dict ordering — NOT python declaration order, which jax tree
+    ops do not preserve); each takes the unconsumed source tensor that
+    adapts to its shape with the highest name-hint affinity
+    (:func:`_name_hint_score`), ties resolved by source declaration order.
+    Raises with a detailed report when coverage is not exact.
     """
     import copy
 
     result = copy.deepcopy(
         {"__root__": target_params}
     )["__root__"]  # deep copy of nested dict/list structure
-    targets = _flatten_with_paths(result)
+    targets = sorted(_flatten_with_paths(result), key=lambda kv: kv[0])
     sources = [(k, np.asarray(v)) for k, v in state_dict.items()]
     used = [False] * len(sources)
     unmatched = []
     for path, leaf in targets:
-        hit = None
+        best = None  # (neg_score, order, index, adapted)
         for i, (name, src) in enumerate(sources):
             if used[i]:
                 continue
             adapted = _adapt(src, leaf.shape)
-            if adapted is not None:
-                hit = (i, adapted)
-                break
-        if hit is None:
+            if adapted is None:
+                continue
+            key = (-_name_hint_score(name, path), i)
+            if best is None or key < best[0]:
+                best = (key, i, adapted)
+        if best is None:
             unmatched.append((path, leaf.shape))
             continue
-        used[hit[0]] = True
-        _set_by_path(result, path, hit[1].astype(np.float32))
+        used[best[1]] = True
+        _set_by_path(result, path, best[2].astype(np.float32))
     if unmatched:
         leftover = [sources[i][0] for i in range(len(sources)) if not used[i]]
         raise ValueError(

@@ -63,10 +63,14 @@ def init_params(
     }
 
 
-@jax.jit
-def apply(params: dict, x: jax.Array) -> jax.Array:
-    """CRNN: [N, 1, 64, W] float32 -> [W//4, N, classes] float32 log-probs."""
-    h = jnp.transpose(x, (0, 2, 3, 1)).astype(jnp.bfloat16)  # [N, 64, W, 1]
+@partial(jax.jit, static_argnames=("dtype",))
+def apply(params: dict, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """CRNN: [N, 1, 64, W] float32 -> [W//4, N, classes] float32 log-probs.
+
+    ``dtype`` is the activation compute dtype: bfloat16 for MXU inference
+    (default); float32 for numeric-equivalence checks against converted
+    source checkpoints (tests/test_convert.py)."""
+    h = jnp.transpose(x, (0, 2, 3, 1)).astype(dtype)  # [N, 64, W, 1]
     h = jax.nn.relu(nn.conv_apply(params["conv1"], h, stride=(2, 2)))
     h = jax.nn.relu(nn.conv_apply(params["conv2"], h, stride=(2, 1)))
     h = jax.nn.relu(nn.conv_apply(params["conv3"], h, stride=(2, 2)))
