@@ -22,6 +22,11 @@ test: native
 test-e2e: native
 	$(CPU_ENV) $(PYTHON) tools/test_e2e.py
 
+# Trained-weight tier: shipped weights vs the REFERENCE golden images,
+# word-level F1 >= 0.8 (runs on the TPU when available).
+test-e2e-real: native
+	$(PYTHON) tools/test_e2e.py --real
+
 update-golden:
 	$(CPU_ENV) $(PYTHON) tools/gen_golden.py
 	$(CPU_ENV) $(PYTHON) tools/test_e2e.py --update

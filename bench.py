@@ -200,12 +200,120 @@ def bench_line_recognition() -> dict:
     }
 
 
+def stage_breakdown(pipeline, pages: np.ndarray) -> dict:
+    """Fence-timed per-stage costs (ms) for one page group. Each boundary
+    forces a dependent readback (utils/tracing.fence) because
+    block_until_ready does not fence on the axon relay."""
+    import sys
+
+    from ocrs_tpu.layout import find_text_lines
+    from ocrs_tpu.utils.tracing import fence
+
+    times: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    pages_dev = pipeline._stage_pages(pages)
+    fence(pages_dev)
+    times["upload_normalize"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tables, scale = pipeline._detect_tables(pages_dev)
+    fence(tables)
+    times["detect_fwd_ccl_rects"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    per_page_words = pipeline._tables_to_words(tables, scale)
+    times["rect_table_to_host"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    per_page_lines = [find_text_lines(w) for w in per_page_words]
+    times["layout_host"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    pipeline._recognize_pooled(pages_dev, per_page_lines)
+    times["recognize_extract_fwd_decode"] = time.perf_counter() - t0
+
+    ms = {k: round(v * 1000, 1) for k, v in times.items()}
+    total = sum(times.values())
+    print(
+        "# stage breakdown (ms/group): "
+        + " ".join(f"{k}={v}" for k, v in ms.items())
+        + f" total={total * 1000:.0f}",
+        file=sys.stderr,
+    )
+    return ms
+
+
+#: TPU v5e (v5 lite) peak: ~197 TFLOP/s bf16, ~819 GB/s HBM.
+V5E_PEAK_FLOPS = 197e12
+V5E_PEAK_BYTES = 819e9
+
+
+def bench_roofline() -> dict:
+    """Config 6: per-model FLOPs (XLA cost analysis) + achieved FLOP/s on
+    fence-timed forwards -> MFU and the compute/bandwidth-bound verdict."""
+    import sys
+
+    from ocrs_tpu.models import detection_net, recognition_net
+    from ocrs_tpu.utils.tracing import fence
+
+    report = {}
+    configs = []
+
+    det = detection_net.init_params(jax.random.key(0))
+    dx = jnp.zeros((PAGE_BATCH, 1, 800, 608), jnp.float32)
+    configs.append(("detection_unet_b16", detection_net.apply, (det, dx)))
+
+    for arch in ("convctc", "crnn"):
+        init_fn, apply_fn = recognition_net.ARCHS[arch]
+        if arch == "crnn":
+            rp = init_fn(jax.random.key(0), 97, 192)
+        else:
+            rp = init_fn(jax.random.key(0), 97)
+        rx = jnp.zeros((64, 1, 64, 2432), jnp.float32)
+        configs.append((f"recognition_{arch}_b64_w2432", apply_fn, (rp, rx)))
+
+    for name, fn, fargs in configs:
+        compiled = jax.jit(fn).lower(*fargs).compile()
+        ca = compiled.cost_analysis() or {}
+        flops = float(ca.get("flops", 0.0))
+        bts = float(ca.get("bytes accessed", 0.0))
+        out = fn(*fargs)
+        fence(out)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fence(fn(*fargs))
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        # The ~30ms relay sync latency is inside dt; report it alongside.
+        mfu = flops / dt / V5E_PEAK_FLOPS
+        bw = bts / dt / V5E_PEAK_BYTES
+        report[name] = {
+            "gflops": round(flops / 1e9, 1),
+            "ms": round(dt * 1000, 1),
+            "mfu": round(mfu, 4),
+            "hbm_frac": round(bw, 4),
+            "bound": "compute" if mfu > bw else "bandwidth",
+        }
+        print(f"# {name}: {report[name]}", file=sys.stderr)
+
+    return {
+        "metric": "roofline_mfu_detection_unet",
+        "value": report["detection_unet_b16"]["mfu"],
+        "unit": "fraction_of_v5e_bf16_peak",
+        "vs_baseline": 0.0,
+        "detail": report,
+        "note": "fence includes ~30ms relay sync latency; MFU is a lower bound",
+    }
+
+
 def main() -> None:
     import argparse
     import sys
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=int, default=5, choices=[1, 4, 5])
+    parser.add_argument("--config", type=int, default=5, choices=[1, 4, 5, 6])
     args = parser.parse_args()
 
     if args.config == 1:
@@ -213,6 +321,9 @@ def main() -> None:
         return
     if args.config == 4:
         print(json.dumps(bench_line_recognition()))
+        return
+    if args.config == 6:
+        print(json.dumps(bench_roofline()))
         return
 
     from pathlib import Path
@@ -270,9 +381,10 @@ def main() -> None:
     results = pipeline.process(pages)
     n_lines_out = len(results[0].text.splitlines())
 
+    # E2E with upload/compute overlap: group N+1's host->device copy is
+    # dispatched before group N synchronizes (PagePipeline.process_stream).
     t0 = time.perf_counter()
-    for _ in range(N_BATCHES):
-        pipeline.process(pages)
+    pipeline.process_stream([pages] * N_BATCHES)
     elapsed = time.perf_counter() - t0
 
     total_pages = N_BATCHES * PAGE_BATCH
@@ -291,13 +403,16 @@ def main() -> None:
         pipeline.process_normalized(pages_dev)
     compute_pps = total_pages / (time.perf_counter() - t0)
 
+    breakdown = stage_breakdown(pipeline, pages)
+
     result = {
         "metric": "pages_per_sec_per_chip_e2e_300dpi",
         "value": round(pages_per_sec, 3),
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 3),
         "compute_pages_per_sec": round(compute_pps, 3),
-        "note": "e2e bounded by ~40MB/s host-device relay in this env",
+        "stage_ms_per_group": breakdown,
+        "note": "e2e overlaps uploads with compute; bounded by ~40MB/s relay in this env",
     }
     print(json.dumps(result))
     print(

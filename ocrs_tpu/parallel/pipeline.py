@@ -92,7 +92,14 @@ def _detect_pre_batch(pages: jax.Array, *, input_hw, pads) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("crop_hw", "threshold", "max_components", "multigrid", "solidify"),
+    static_argnames=(
+        "crop_hw",
+        "threshold",
+        "max_components",
+        "multigrid",
+        "solidify",
+        "max_boundary",
+    ),
 )
 def _masks_to_tables(
     probs: jax.Array,
@@ -491,22 +498,48 @@ class PagePipeline:
 
     # -- entry ------------------------------------------------------------------
 
+    def _stage_pages(self, pages: np.ndarray) -> jax.Array:
+        """Asynchronously upload + normalize a page stack; returns the device
+        array without synchronizing (device_put and the normalize dispatch
+        both return before the copy/compute completes)."""
+        imgs = np.asarray(pages)
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        is_u8 = imgs.dtype == np.uint8
+        if self._mesh is not None:
+            from .sharding import shard_batch_dim
+
+            arr = shard_batch_dim(self._mesh, jnp.asarray(imgs))
+        else:
+            arr = jax.device_put(imgs)
+        return _normalize_batch(arr, is_u8)  # [B, H, W]
+
     def process(self, pages: np.ndarray) -> list[PageResult]:
         """Run OCR on a stack of same-sized pages.
 
         `pages`: [B, H, W] or [B, H, W, C] u8/float numpy array.
         """
-        imgs = np.asarray(pages)
-        if imgs.ndim == 3:
-            imgs = imgs[..., None]
-        is_u8 = imgs.dtype == np.uint8
-        arr = jnp.asarray(imgs)
-        if self._mesh is not None:
-            from .sharding import shard_batch_dim
+        return self.process_normalized(self._stage_pages(pages))
 
-            arr = shard_batch_dim(self._mesh, arr)
-        pages_dev = _normalize_batch(arr, is_u8)  # [B, H, W]
-        return self.process_normalized(pages_dev)
+    def process_stream(self, page_batches) -> "list[list[PageResult]]":
+        """Run OCR over an iterable of page stacks with upload/compute
+        overlap: group N+1's host->device copy is dispatched BEFORE group N
+        synchronizes for decode, so on slow transports the transfer hides
+        behind compute (double buffering). Returns per-group results.
+
+        The reference has no analog (single image at a time); this is the
+        TPU-native replacement for its rayon thread-pool overlap
+        (recognition.rs:464-467) at page granularity."""
+        results = []
+        staged = None
+        for batch in page_batches:
+            nxt = self._stage_pages(batch)  # async upload of group N+1
+            if staged is not None:
+                results.append(self.process_normalized(staged))
+            staged = nxt
+        if staged is not None:
+            results.append(self.process_normalized(staged))
+        return results
 
     def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:
         """Run OCR on pages already normalized and resident in HBM

@@ -132,9 +132,18 @@ def make_detection_train_step(
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
 ) -> Callable[[TrainState, jax.Array, jax.Array], tuple[TrainState, jax.Array]]:
-    """Data-parallel detection train step (BCE + dice)."""
+    """Data-parallel detection train step (BCE + dice).
+
+    Accepts images as float32 (already normalized) OR uint8 (raw 0..255);
+    uint8 batches are normalized on device — 4x less host->device traffic,
+    which matters on slow transports (the axon relay moves ~40MB/s, so a
+    float32 [16,1,800,608] batch alone costs ~0.75s/step)."""
 
     def loss_fn(params, images, targets):
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0 - 0.5
+        if targets.dtype == jnp.uint8:
+            targets = targets.astype(jnp.float32)
         probs = detection_net.apply(params, images)
         return detection_loss(probs, targets)
 

@@ -6,11 +6,18 @@ the CLI on every image in a test-data directory, strip whitespace, diff
 against ``<name>.expected.txt``, and print per-image wall time. ``--update``
 rewrites the baselines.
 
-The CLI runs with ``--fake-models`` (the deterministic test models, mirroring
-the reference's fake-model engine tests) so the harness is hermetic: no
-trained weights or network needed, and it exercises the full binary surface —
-image decode, preprocessing, detection, layout, recognition, CTC and output
-formatting.
+Two tiers:
+
+  * default — the CLI runs with ``--fake-models`` (deterministic test
+    models, mirroring the reference's fake-model engine tests) against the
+    repo's own pinned goldens, so the tier is hermetic: no trained weights
+    needed, and it exercises the full binary surface — image decode,
+    preprocessing, detection, layout, recognition, CTC, output formatting.
+  * ``--real`` — the SHIPPED trained weights run against the REFERENCE
+    repo's golden images (/root/reference/ocrs-cli/test-data) and must
+    reach a word-level F1 threshold (default 0.8, tolerance-based rather
+    than byte-exact so incidental single-char differences don't flake);
+    an accuracy regression in the shipped weights fails this tier.
 """
 
 from __future__ import annotations
@@ -53,12 +60,54 @@ def run_ocr(image: Path, extra_args: list[str]) -> str:
     return result.stdout
 
 
+def run_real_tier(min_f1: float) -> int:
+    """Trained-weight golden tier: shipped weights vs the reference's own
+    golden images, scored at the word level (tools/eval_reference.py)."""
+    import json
+
+    ref_data = Path("/root/reference/ocrs-cli/test-data")
+    if not ref_data.exists():
+        print("reference test-data not available; skipping real tier")
+        return 0
+    result = subprocess.run(
+        [
+            sys.executable,
+            str(REPO / "tools" / "eval_reference.py"),
+            "--min-f1",
+            str(min_f1),
+        ],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    out = result.stdout.strip().splitlines()
+    scores = json.loads(out[-1]) if out else {}
+    for name, s in scores.items():
+        print(
+            f"{name}: P {s['precision']:.3f} R {s['recall']:.3f} F1 {s['f1']:.3f}"
+            f" (threshold {min_f1})"
+        )
+    if result.returncode != 0:
+        print(f"real-weights golden tier FAILED (F1 < {min_f1})", file=sys.stderr)
+        print(result.stderr[-2000:], file=sys.stderr)
+        return 1
+    print("real-weights golden tier passed")
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "test_data", nargs="?", default=str(REPO / "test-data"), help="Directory of test images"
     )
     parser.add_argument("--update", action="store_true", help="Rewrite expected outputs")
+    parser.add_argument(
+        "--real",
+        action="store_true",
+        help="also run the shipped trained weights against the reference goldens",
+    )
+    parser.add_argument("--min-f1", type=float, default=0.8)
     args = parser.parse_args()
 
     test_dir = Path(args.test_data)
@@ -98,6 +147,8 @@ def main() -> int:
         print(f"{failures} failure(s)", file=sys.stderr)
         return 1
     print("all golden tests passed")
+    if args.real:
+        return run_real_tier(args.min_f1)
     return 0
 
 
