@@ -90,7 +90,126 @@ class OcrSession:
         return "\n".join(str(l) for l in self.get_text_lines() if l is not None)
 
 
-def make_handler(engine: OcrEngine):
+class BatchingOcrService:
+    """Micro-batching request queue: concurrent requests SHARE recognition
+    batches.
+
+    Detection and layout run per request with the engine's exact
+    single-image semantics (each image pads/resizes independently,
+    detection.rs:148-171). Recognition, the dominant cost, is pooled: all
+    waiting requests' pages are padded into one device stack and their
+    lines recognized through the multi-page pipeline's pooled width-bucket
+    batches (parallel/pipeline.py), so 4 concurrent one-line requests cost
+    ~one recognition dispatch instead of four. This is the serving analog
+    of the extension's batch-4 eager recognition (background.ts:427-434).
+    """
+
+    def __init__(
+        self,
+        engine: OcrEngine,
+        detection_model,
+        recognition_model,
+        alphabet: str,
+        max_batch: int = 8,
+        max_wait_ms: float = 15.0,
+    ):
+        from concurrent.futures import Future
+
+        from .parallel.pipeline import PagePipeline
+
+        self._engine = engine
+        self._pipeline = PagePipeline(
+            detection_model, recognition_model, alphabet, max_lines_per_batch=128
+        )
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1000.0
+        self._queue: list[tuple[np.ndarray, "Future"]] = []
+        self._cv = threading.Condition()
+        self._gate = threading.Event()  # tests clear this to force batching
+        self._gate.set()
+        self.batch_sizes: list[int] = []  # observability: per-batch sizes
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, image: np.ndarray):
+        """Enqueue an HWC image; returns a Future resolving to the list of
+        recognized TextLines (None entries for undecodable lines)."""
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        with self._cv:
+            self._queue.append((np.asarray(image), fut))
+            self._cv.notify()
+        return fut
+
+    def _collect(self) -> list[tuple[np.ndarray, "Future"]]:
+        with self._cv:
+            while not self._queue:
+                self._cv.wait()
+            deadline = None
+            while len(self._queue) < self._max_batch:
+                if deadline is None:
+                    import time as _time
+
+                    deadline = _time.monotonic() + self._max_wait
+                import time as _time
+
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0 or not self._cv.wait(timeout=remaining):
+                    break
+            batch, self._queue = self._queue[: self._max_batch], self._queue[self._max_batch :]
+            return batch
+
+    def _worker(self) -> None:
+        import jax.numpy as jnp
+
+        from .preprocess import BLACK_VALUE
+
+        while True:
+            batch = self._collect()
+            self._gate.wait()
+            with self._cv:  # drain anything that arrived while gated
+                extra = self._queue[: self._max_batch - len(batch)]
+                self._queue = self._queue[len(extra) :]
+                batch.extend(extra)
+            self.batch_sizes.append(len(batch))
+            try:
+                inputs, all_lines = [], []
+                for img, _ in batch:
+                    inp = self._engine.prepare_input(
+                        ImageSource.from_tensor(img, DimOrder.HWC)
+                    )
+                    words = self._engine.detect_words(inp)
+                    lines = self._engine.find_text_lines(inp, words)
+                    inputs.append(inp)
+                    all_lines.append(lines)
+                # Pad pages into one stack; line coords are page-local, and
+                # the BLACK padding is outside every line polygon.
+                h_max = max(i.image.shape[1] for i in inputs)
+                w_max = max(i.image.shape[2] for i in inputs)
+                stack = jnp.stack(
+                    [
+                        jnp.pad(
+                            i.image[0],
+                            (
+                                (0, h_max - i.image.shape[1]),
+                                (0, w_max - i.image.shape[2]),
+                            ),
+                            constant_values=BLACK_VALUE,
+                        )
+                        for i in inputs
+                    ]
+                )
+                texts = self._pipeline._recognize_pooled(stack, all_lines)
+                for (_, fut), text_lines in zip(batch, texts):
+                    fut.set_result(text_lines)
+            except Exception as exc:  # noqa: BLE001 - fail the whole batch
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+
+def make_handler(engine: OcrEngine, service: Optional[BatchingOcrService] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -119,9 +238,12 @@ def make_handler(engine: OcrEngine):
                 from PIL import Image
 
                 img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-                session = OcrSession(engine)
-                session.load_image(img)
-                text_lines = session.get_text_lines()
+                if service is not None:
+                    text_lines = service.submit(img).result(timeout=600)
+                else:
+                    session = OcrSession(engine)
+                    session.load_image(img)
+                    text_lines = session.get_text_lines()
                 if self.path == "/ocr/text":
                     body = "\n".join(
                         str(l) for l in text_lines if l is not None
@@ -150,10 +272,16 @@ def make_handler(engine: OcrEngine):
     return Handler
 
 
-def serve(engine: OcrEngine, host: str = "127.0.0.1", port: int = 8765) -> ThreadingHTTPServer:
+def serve(
+    engine: OcrEngine,
+    host: str = "127.0.0.1",
+    port: int = 8765,
+    service: Optional[BatchingOcrService] = None,
+) -> ThreadingHTTPServer:
     """Start the HTTP server in a background thread; returns the server
-    (call ``.shutdown()`` to stop)."""
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
+    (call ``.shutdown()`` to stop). Pass a :class:`BatchingOcrService` to
+    share recognition batches across concurrent POSTs."""
+    server = ThreadingHTTPServer((host, port), make_handler(engine, service))
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     return server

@@ -123,3 +123,43 @@ def test_checkpoint_roundtrip(tmp_path):
         # restored state steps again without error
         state2, loss = step(restored, *shard_batch(mesh, *map(np.asarray, (images, labels, lengths))))
         assert np.isfinite(float(loss))
+
+
+def test_batching_service_shares_recognition_batches():
+    """Concurrent submissions must execute as ONE pooled recognition batch
+    and produce the same text as the single-image session path."""
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.serve import BatchingOcrService, OcrSession
+
+    engine = _fake_engine()
+    service = BatchingOcrService(
+        engine,
+        FakeDetectionModel(),
+        FakeRecognitionModel(),
+        DEFAULT_ALPHABET[:63],
+        max_batch=8,
+        max_wait_ms=50.0,
+    )
+    service._gate.clear()  # hold the worker so all submissions coalesce
+
+    imgs = []
+    for k in range(4):
+        img = np.zeros((100, 200, 3), dtype=np.float32)
+        img[30:50, 20 + 4 * k : 90 + 4 * k] = 1.0
+        imgs.append(img)
+    futs = [service.submit(img) for img in imgs]
+    import time
+
+    time.sleep(0.1)
+    service._gate.set()
+    results = [f.result(timeout=300) for f in futs]
+
+    assert max(service.batch_sizes) == 4  # one shared batch, not 4 singles
+    for img, text_lines in zip(imgs, results):
+        session = OcrSession(engine)
+        session.load_image(img)
+        expected = session.get_text_lines()
+        got = "\n".join(str(l) for l in text_lines if l is not None)
+        want = "\n".join(str(l) for l in expected if l is not None)
+        assert got == want
