@@ -5,12 +5,14 @@ of the ocrs-models PyTorch training repo (README.md:16-19). ocrs-tpu's
 native format is the flat ``.npz`` pytree (weights.py); this module converts
 into it from:
 
-  * **ONNX** (``convert_onnx``) — requires the ``onnx`` package (not baked
-    into this image; the import is gated). Extracts Conv/MatMul/GRU
-    initializers in graph order.
-  * **PyTorch state dicts** (``convert_torch_state_dict``) — torch-cpu is
-    available; maps a state dict onto a target parameter pytree by shape
-    signature in declaration order.
+  * **PyTorch state dicts** (``convert_torch_state_dict``) — the PROVEN
+    path: a torch CRNN converts with <=1e-4 numeric equivalence
+    (tests/test_convert.py::test_torch_crnn_numeric_equivalence). The
+    reference's models are trained in PyTorch (ocrs-models), so this is the
+    realistic route to its weights.
+  * **ONNX** (``convert_onnx``) — a thin adapter over the same mapping for
+    environments with the ``onnx`` package (not installed here; import is
+    gated). Untested against real exports — prefer the torch path.
 
 Both converters are deliberately strict: they verify every target leaf is
 covered exactly once and report what didn't match, because a silently

@@ -480,6 +480,12 @@ def render_recognition_sample(
     lr_w = float(poly[:, 0].max() - poly[:, 0].min())
     lr_h = float(poly[:, 1].max() - poly[:, 1].min())
     rw = min(resized_line_width(lr_w, lr_h, out_h), width_budget)
+    # Horizontal-squeeze augmentation: lines longer than the 2400px cap are
+    # resized UNDER their natural aspect at inference
+    # (recognition.rs:58-75 clamps resized width, squashing ~150-char lines
+    # to ~50% width) — cover that distortion explicitly.
+    if rng.random() < 0.3:
+        rw = max(int(rw * float(rng.uniform(0.45, 0.95))), 10)
     crop = prepare_text_line_host(page[None], poly, rw, out_h)
     return crop, " ".join(texts)
 

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Word-level precision/recall/F1 evaluation of the full OCR pipeline.
 
-Generates held-out synthetic pages (ocrs_tpu.train.data.render_page), runs
+Generates held-out styled synthetic pages (ocrs_tpu.train.render), runs
 the complete engine (detect -> layout -> recognize) with trained weights,
 and matches predicted words against ground truth: a prediction is a true
 positive when its rect overlaps a ground-truth word (IoU >= 0.3) and the
@@ -48,14 +48,21 @@ def _edit_distance(a: str, b: str) -> int:
 
 def evaluate(engine, pages: int, seed: int, iou_thresh: float, max_edit: int, show: int = 0):
     from ocrs_tpu.preprocess import DimOrder, ImageSource
-    from ocrs_tpu.train.data import render_page
+    from ocrs_tpu.train.render import render_native_page
 
     rng = np.random.default_rng(seed)
     tp = fp = fn = 0
     det_tp = det_fp = det_fn = 0
     for _ in range(pages):
-        img, _, gt_words = render_page(rng, return_words=True)
-        arr = ((img[0] + 0.5) * 255).astype(np.uint8)
+        # Held-out STYLED pages (fonts/polarity/gray levels/degradations/
+        # native sizes drawn fresh from the full style space, disjoint seed
+        # stream from training) — not the single-font renderer, so this
+        # measures generalization across the style space rather than
+        # memorization of one rendering configuration.
+        page01, gt_words = render_native_page(rng)
+        while len(gt_words) == 0:  # skip the rare no-text page
+            page01, gt_words = render_native_page(rng)
+        arr = (page01 * 255).astype(np.uint8)
         inp = engine.prepare_input(ImageSource.from_tensor(arr[..., None], DimOrder.HWC))
         words = engine.detect_words(inp)
         lines = engine.find_text_lines(inp, words)
