@@ -206,17 +206,44 @@ class RecognitionDataset:
         return a.astype(np.float32) / 255.0 + BLACK_VALUE, self._texts[i]
 
     def batches(
-        self, batch_size: int, seed: int = 0, noise: float = 0.015
+        self, batch_size: int, seed: int = 0, noise: float = 0.015, as_u8: bool = False
     ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Infinite randomized batches with cheap per-batch photometric
-        augmentation (fresh noise/brightness per epoch pass)."""
+        augmentation (fresh noise/brightness per epoch pass).
+
+        ``as_u8=True`` yields raw uint8 crops (normalization happens on
+        device in the train step) — 4x less host->device traffic."""
         rng = np.random.default_rng(seed)
         n = len(self)
         while True:
             idx = rng.integers(0, n, size=batch_size)
-            images = np.full((batch_size, 1, 64, self.width), BLACK_VALUE, np.float32)
             labels = np.zeros((batch_size, self.max_label_len), np.int32)
             lengths = np.zeros((batch_size,), np.int32)
+            if as_u8:
+                images = np.zeros((batch_size, 1, 64, self.width), np.uint8)
+                for row, i in enumerate(idx):
+                    i = int(i)
+                    w = min(int(self._widths[i]), self.width)
+                    crop_u8 = self._flat[
+                        self._offsets[i] : self._offsets[i + 1]
+                    ].reshape(64, -1)[:, :w]
+                    if noise > 0:
+                        lvl = rng.uniform(0.0, noise) * 255.0
+                        jitter = rng.normal(0.0, lvl, crop_u8.shape)
+                        crop_u8 = np.clip(
+                            crop_u8.astype(np.int16) + jitter, 0, 255
+                        ).astype(np.uint8)
+                    images[row, 0, :, :w] = crop_u8
+                    lab = labels_for(self._texts[i], self.alphabet)[
+                        : self.max_label_len
+                    ]
+                    labels[row, : len(lab)] = lab
+                    lengths[row] = len(lab) if lab else 1
+                    if not lab:
+                        labels[row, 0] = 1
+                yield images, labels, lengths
+                continue
+            images = np.full((batch_size, 1, 64, self.width), BLACK_VALUE, np.float32)
             for row, i in enumerate(idx):
                 crop, text = self.get(int(i))
                 if noise > 0:

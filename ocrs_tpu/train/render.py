@@ -61,6 +61,17 @@ _FONT_CANDIDATES = (
     "matplotlib:STIXGeneralBol.ttf",
     "matplotlib:STIXGeneralItalic.ttf",
     "matplotlib:STIXGeneralBolIta.ttf",
+    # Non-DejaVu families bundled with installed Python packages — these
+    # carry most of the cross-font generalization (Liberation Sans is
+    # metric-compatible with Arial, the de-facto web/wiki body font;
+    # Atkinson is a humanist sans; Playfair a high-contrast serif).
+    # (listed twice: upweighted — most real pages use an Arial-like sans)
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/sans.ttf",
+    "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/sans.ttf",
+    "/opt/venv/lib/python3.12/site-packages/pygame/freesansbold.ttf",
+    "/opt/venv/lib/python3.12/site-packages/mujoco/experimental/studio/assets/AtkinsonHyperlegibleNext[wght].ttf",
+    "/opt/venv/lib/python3.12/site-packages/mujoco/experimental/studio/assets/AtkinsonHyperlegibleNext[wght].ttf",
+    "/opt/venv/lib/python3.12/site-packages/pygame/tests/fixtures/fonts/PlayfairDisplaySemibold.ttf",
 )
 
 

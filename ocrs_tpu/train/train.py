@@ -90,6 +90,10 @@ def make_recognition_train_step(
     apply_fn = recognition_net.ARCHS[arch][1]
 
     def loss_fn(params, images, labels, label_lengths):
+        if images.dtype == jnp.uint8:
+            # Raw u8 crops normalize on device (4x less host->device traffic;
+            # matters on slow transports, same rationale as the detection step).
+            images = images.astype(jnp.float32) / 255.0 - 0.5
         logprobs = apply_fn(params, images)  # [T, N, C]
         return ctc_loss(logprobs, labels, label_lengths)
 

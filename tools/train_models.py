@@ -113,7 +113,9 @@ def train_recognition(args) -> None:
         state = init_recognition_state(
             mesh, optimizer, n_classes=n_classes, hidden=args.hidden, arch=args.arch
         )
-        batches = ds.batches(args.batch, seed=args.data_seed + 1)
+        # u8 batches: crops upload raw and normalize on device (the float32
+        # [64,1,64,768] batch would cost ~0.3s/step over the 40MB/s relay).
+        batches = ds.batches(args.batch, seed=args.data_seed + 1, as_u8=True)
         t0 = time.time()
         for step in range(1, args.steps + 1):
             images, labels, lengths = next(batches)
