@@ -112,14 +112,17 @@ def gru_apply(params: dict, x: jax.Array, reverse: bool = False) -> jax.Array:
     """
     n, t, _ = x.shape
     hidden = params["wh"].shape[0]
+    # Recurrence precision: at least fp32 for stability (bf16 inputs upcast);
+    # f64 inputs keep f64 so double-precision equivalence checks are exact.
+    carry_dtype = jnp.promote_types(jnp.float32, x.dtype)
     xp = (
-        jnp.dot(x, params["wx"].astype(x.dtype)).astype(jnp.float32)
-        + params["bx"]
-    )  # [N, T, 3H]; recurrence runs in fp32 for stability
+        jnp.dot(x, params["wx"].astype(x.dtype)).astype(carry_dtype)
+        + params["bx"].astype(carry_dtype)
+    )  # [N, T, 3H]
     xp = jnp.swapaxes(xp, 0, 1)  # [T, N, 3H]
 
-    wh = params["wh"]
-    bh = params["bh"]
+    wh = params["wh"].astype(carry_dtype)
+    bh = params["bh"].astype(carry_dtype)
 
     def step(h, xt):
         hp = jnp.dot(h, wh) + bh  # [N, 3H] fp32
@@ -131,7 +134,7 @@ def gru_apply(params: dict, x: jax.Array, reverse: bool = False) -> jax.Array:
         h_new = (1.0 - z) * nval + z * h
         return h_new, h_new
 
-    h0 = jnp.zeros((n, hidden), jnp.float32)
+    h0 = jnp.zeros((n, hidden), carry_dtype)
     # The backward direction scans the sequence natively in reverse
     # (lax.scan(reverse=True) emits outputs in original time order). This
     # avoids explicit jnp.flip of the [T, N, 3H] tensor, which miscompiles

@@ -81,7 +81,9 @@ def apply(params: dict, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     h = jax.nn.relu(nn.dense_apply(params["proj"], h))
     h = nn.bigru_apply(params["gru1"], h)
     h = nn.bigru_apply(params["gru2"], h)
-    logits = nn.dense_apply(params["head"], h).astype(jnp.float32)  # [N, T, C]
+    # Log-probs in at least fp32 (f64 under double-precision equivalence runs).
+    out_dtype = jnp.promote_types(jnp.float32, dtype)
+    logits = nn.dense_apply(params["head"], h).astype(out_dtype)  # [N, T, C]
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     return jnp.transpose(logprobs, (1, 0, 2))  # [T, N, C]
 

@@ -53,10 +53,17 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     ry = jnp.asarray(_interp_matrix(in_h, out_h))
     rx = jnp.asarray(_interp_matrix(in_w, out_w))
     # (..., H, W) -> (..., out_h, W) -> (..., out_h, out_w)
+    # precision="highest": the default matmul precision truncates f32
+    # operands to bf16 on TPU (and, with current backends, on the CPU
+    # emulation path too), which would break the ONNX-exact parity claim
+    # (~1e-3 error on [0,1] pixels). True-f32 passes keep the kernel exact;
+    # the op is bandwidth-bound so the extra MXU passes are cheap.
     out = jnp.einsum(
-        "oh,...hw->...ow", ry, img, preferred_element_type=jnp.float32
+        "oh,...hw->...ow", ry, img,
+        preferred_element_type=jnp.float32, precision="highest",
     )
     out = jnp.einsum(
-        "pw,...ow->...op", rx, out, preferred_element_type=jnp.float32
+        "pw,...ow->...op", rx, out,
+        preferred_element_type=jnp.float32, precision="highest",
     )
     return out

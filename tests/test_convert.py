@@ -40,8 +40,9 @@ def test_torch_crnn_numeric_equivalence():
     """Full torch-CRNN -> JAX conversion proof: a PyTorch twin of the crnn
     architecture (same graph, ONNX-style asymmetric stride-2 pads, torch GRU
     gate order/bias placement matches models/nn.gru_apply) is converted via
-    convert_torch_state_dict and must agree with the JAX model to <=1e-4 on
-    random input (fp32 activations on both sides)."""
+    convert_torch_state_dict and must agree with the JAX model to <=1e-8 in
+    float64 (backend-independent; f32 runs differ by conv accumulation order
+    at the ~2e-4 level, which is numerical noise, not conversion error)."""
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
@@ -81,7 +82,7 @@ def test_torch_crnn_numeric_equivalence():
             return F.log_softmax(logits, dim=-1).permute(1, 0, 2)  # [T, N, C]
 
     torch.manual_seed(0)
-    src = TorchCRNN().eval()
+    src = TorchCRNN().double().eval()
 
     from ocrs_tpu.models.recognition_net import init_params
 
@@ -94,9 +95,11 @@ def test_torch_crnn_numeric_equivalence():
     )
 
     rng = np.random.default_rng(0)
-    x = rng.normal(size=(2, 1, 64, 96)).astype(np.float32) * 0.3
+    x = rng.normal(size=(2, 1, 64, 96)) * 0.3
     with torch.no_grad():
         ref = src(torch.from_numpy(x)).numpy()
-    out = np.asarray(jax_apply(converted, x, dtype=jnp.float32))
+    with jax.enable_x64(True):
+        converted64 = jax.tree.map(lambda a: np.asarray(a, np.float64), converted)
+        out = np.asarray(jax_apply(converted64, x, dtype=jnp.float64))
     assert out.shape == ref.shape
-    np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(out, ref, atol=1e-8, rtol=1e-8)

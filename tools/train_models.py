@@ -17,12 +17,15 @@ mask F1 (detection), printed during training.
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 CACHE_DIR = REPO / "_build" / "datacache"
 
 
