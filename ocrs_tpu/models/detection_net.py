@@ -71,8 +71,8 @@ def apply(params: dict, x: jax.Array) -> jax.Array:
     for level in params["decoder"]:
         skip = skips.pop()
         h = resize_bilinear(
-            jnp.transpose(h, (0, 3, 1, 2)), skip.shape[1:3]
-        )  # NCHW resize on trailing dims
+            jnp.transpose(h, (0, 3, 1, 2)), skip.shape[1:3], precision="default"
+        )  # NCHW resize on trailing dims; approximation-tolerant upsample
         h = jnp.transpose(h, (0, 2, 3, 1)).astype(jnp.bfloat16)
         h = jnp.concatenate([h, skip], axis=-1)
         h = jax.nn.relu(nn.conv_apply(level["conv"], h))
@@ -85,7 +85,10 @@ class DetectionModel:
     """Model-protocol wrapper (see ocrs_tpu.models.protocol.Model)."""
 
     def __init__(self, params: dict, input_hw: tuple[int, int] = DEFAULT_INPUT_HW):
-        self.params = params
+        # Device-resident params: freshly loaded checkpoints are host numpy
+        # arrays, and leaving them as such re-uploads every weight on every
+        # forward (tens of per-array transfers; ~200ms/call over the relay).
+        self.params = jax.tree.map(jnp.asarray, params)
         self._input_hw = tuple(int(v) for v in input_hw)
 
     @staticmethod

@@ -208,7 +208,9 @@ class RecognitionModel:
     def __init__(self, params: dict, arch: str = "crnn"):
         if arch not in ARCHS:
             raise ValueError(f"unknown recognition arch {arch!r}")
-        self.params = params
+        # Device-resident params (see DetectionModel.__init__: numpy params
+        # would re-upload every weight on every forward).
+        self.params = jax.tree.map(jnp.asarray, params)
         self.arch = arch
 
     @staticmethod

@@ -110,15 +110,41 @@ def min_area_rects_device(
     n_components = jnp.sum(new_seg, dtype=jnp.int32)
     dropped = jnp.maximum(n_components - max_components, 0)
 
-    # Gather each component's boundary into a dense tile, uniformly
-    # subsampling components longer than max_points (duplicating points for
-    # shorter ones — duplicates don't change min/max).
-    k = jnp.arange(max_points, dtype=jnp.int32)
-    safe_counts = jnp.maximum(counts, 1)
-    idx = starts[:, None] + (k[None, :] * safe_counts[:, None]) // max_points
-    idx = jnp.clip(idx, 0, p - 1)
-    px = xs_sorted[idx]  # [C, K]
-    py = ys_sorted[idx]
+    # Gather each component's boundary into a dense tile. A [C, K] gather of
+    # individually-subsampled positions lowers to C*K scalar gathers
+    # (~200ms/16 pages); instead gather ALIGNED BLOCKS of the sorted point
+    # arrays — each component's points are contiguous after the sort, so a
+    # handful of lane-width rows covers its whole segment — and mask each
+    # gathered element by its global position against the segment bounds.
+    # Components spanning more than `nb` blocks get uniformly-subsampled
+    # blocks (approximate extents, same spirit as point subsampling).
+    kb = 64  # block width (half a lane register)
+    nb = max(max_points // kb + 2, 3)  # full coverage up to ~max_points
+    p_pad = -(-p // kb) * kb
+    if p_pad != p:
+        pad = ((0, p_pad - p),)
+        xs_sorted = jnp.pad(xs_sorted, pad)
+        ys_sorted = jnp.pad(ys_sorted, pad)
+    blocks = jnp.reshape(xs_sorted, (p_pad // kb, kb))
+    blocks_y = jnp.reshape(ys_sorted, (p_pad // kb, kb))
+    first_blk = starts // kb
+    last_blk = jnp.maximum(ends - 1, starts) // kb
+    nspan = last_blk - first_blk + 1
+    j = jnp.arange(nb, dtype=jnp.int32)
+    blk_idx = first_blk[:, None] + (j[None, :] * nspan[:, None]) // nb  # [C, nb]
+    blk_idx = jnp.clip(blk_idx, 0, p_pad // kb - 1)
+    px = blocks[blk_idx].reshape(max_components, nb * kb)  # [C, nb*kb]
+    py = blocks_y[blk_idx].reshape(max_components, nb * kb)
+    gpos = (blk_idx[:, :, None] * kb + jnp.arange(kb, dtype=jnp.int32)).reshape(
+        max_components, nb * kb
+    )
+    in_seg = (gpos >= starts[:, None]) & (gpos < ends[:, None])
+    # Out-of-segment lanes collapse onto the segment's first point so they
+    # never affect the min/max extents.
+    fx = xs_sorted[jnp.clip(starts, 0, p - 1)]
+    fy = ys_sorted[jnp.clip(starts, 0, p - 1)]
+    px = jnp.where(in_seg, px, fx[:, None])
+    py = jnp.where(in_seg, py, fy[:, None])
 
     # Dense angle scan. Min-area rect angle is 90-deg periodic; scan
     # [-45, 45) coarsely, then refine twice around the best angle.

@@ -40,12 +40,21 @@ def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+def resize_bilinear(
+    img: jax.Array, out_hw: tuple[int, int], precision: str = "highest"
+) -> jax.Array:
     """Bilinear-resize the trailing two dims of `img` to `out_hw`.
 
     Works for any leading batch/channel dims. Matches rten/ONNX Resize
     (linear, half_pixel, no antialias) to float rounding.
-    """
+
+    ``precision``: the default matmul precision truncates f32 operands to
+    bf16 on TPU (and, with current backends, on the CPU emulation path too),
+    which would break the ONNX-exact parity claim (~1e-3 error on [0,1]
+    pixels) — so image-parity call sites use the "highest" default
+    (true-f32 passes; the op is bandwidth-bound so the extra MXU passes are
+    cheap). Approximation-tolerant call sites (e.g. U-Net feature-map
+    upsampling on bf16 activations) pass "default"."""
     out_h, out_w = int(out_hw[0]), int(out_hw[1])
     in_h, in_w = img.shape[-2], img.shape[-1]
     if (in_h, in_w) == (out_h, out_w):
@@ -53,17 +62,12 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     ry = jnp.asarray(_interp_matrix(in_h, out_h))
     rx = jnp.asarray(_interp_matrix(in_w, out_w))
     # (..., H, W) -> (..., out_h, W) -> (..., out_h, out_w)
-    # precision="highest": the default matmul precision truncates f32
-    # operands to bf16 on TPU (and, with current backends, on the CPU
-    # emulation path too), which would break the ONNX-exact parity claim
-    # (~1e-3 error on [0,1] pixels). True-f32 passes keep the kernel exact;
-    # the op is bandwidth-bound so the extra MXU passes are cheap.
     out = jnp.einsum(
         "oh,...hw->...ow", ry, img,
-        preferred_element_type=jnp.float32, precision="highest",
+        preferred_element_type=jnp.float32, precision=precision,
     )
     out = jnp.einsum(
         "pw,...ow->...op", rx, out,
-        preferred_element_type=jnp.float32, precision="highest",
+        preferred_element_type=jnp.float32, precision=precision,
     )
     return out

@@ -286,3 +286,52 @@ def test_pallas_gru_gradients_match_scan():
     g_pal = jax.grad(loss_pallas)(params)
     for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_pal)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def _spiral_mask(hw=(120, 160), pitch=6):
+    """A single serpentine spiral component — the worst case for sweep-based
+    label propagation (dozens of sweeps) and the motivating case for the
+    run-graph labeller."""
+    h, w = hw
+    mask = np.zeros(hw, dtype=bool)
+    top, left, bottom, right = 2, 2, h - 3, w - 3
+    while top < bottom and left < right:
+        mask[top, left:right + 1] = True
+        mask[top:bottom + 1, right] = True
+        mask[bottom, left:right + 1] = True
+        mask[top + pitch:bottom + 1, left] = True
+        top += pitch; left += pitch; bottom -= pitch; right -= pitch
+    return mask
+
+
+@pytest.mark.parametrize(
+    "mask_fn",
+    [
+        lambda: _random_blob_mask(3),
+        lambda: _spiral_mask(),
+        lambda: np.ones((33, 47), dtype=bool),
+        lambda: np.zeros((16, 16), dtype=bool),
+        lambda: np.eye(24, dtype=bool),
+    ],
+)
+def test_rungraph_ccl_matches_scipy(mask_fn):
+    from ocrs_tpu.ops.connected_components import label_components_rungraph
+
+    mask = mask_fn()
+    dev = np.asarray(label_components_rungraph(jnp.asarray(mask)))
+    dev_compact, dev_count = compact_labels_host(dev)
+    host, host_count = label_components_host(mask)
+    assert dev_count == host_count
+    pairs = set(zip(dev_compact.ravel().tolist(), host.ravel().tolist()))
+    assert len(pairs) == host_count + (1 if (~mask).any() else 0)
+
+
+def test_rungraph_matches_sweep_label_values():
+    """Same stable semantics: component labelled by its smallest pixel
+    linear index (so rungraph is a drop-in for label_components_device)."""
+    from ocrs_tpu.ops.connected_components import label_components_rungraph
+
+    mask = _random_blob_mask(7)
+    a = np.asarray(label_components_device(jnp.asarray(mask)))
+    b = np.asarray(label_components_rungraph(jnp.asarray(mask)))
+    assert (a == b).all()
