@@ -211,27 +211,31 @@ def stage_breakdown(pipeline, pages: np.ndarray) -> dict:
 
     times: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    pages_dev = pipeline._stage_pages(pages)
-    fence(pages_dev)
-    times["upload_normalize"] = time.perf_counter() - t0
+    # Two passes: the first warms the fence readback programs (their one-off
+    # compiles otherwise inflate whichever stage compiles them); the second
+    # pass's timings are reported.
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pages_dev = pipeline._stage_pages(pages)
+        fence(pages_dev)
+        times["upload_normalize"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    tables, scale = pipeline._detect_tables(pages_dev)
-    fence(tables)
-    times["detect_fwd_ccl_rects"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        tables, scale = pipeline._detect_tables(pages_dev)
+        fence(tables)
+        times["detect_fwd_ccl_rects"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    per_page_words = pipeline._tables_to_words(tables, scale)
-    times["rect_table_to_host"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        per_page_words = pipeline._tables_to_words(tables, scale)
+        times["rect_table_to_host"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    per_page_lines = [find_text_lines(w) for w in per_page_words]
-    times["layout_host"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        per_page_lines = [find_text_lines(w) for w in per_page_words]
+        times["layout_host"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    pipeline._recognize_pooled(pages_dev, per_page_lines)
-    times["recognize_extract_fwd_decode"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pipeline._recognize_pooled(pages_dev, per_page_lines)
+        times["recognize_extract_fwd_decode"] = time.perf_counter() - t0
 
     ms = {k: round(v * 1000, 1) for k, v in times.items()}
     total = sum(times.values())

@@ -26,6 +26,15 @@ from scipy import ndimage
 _EIGHT_CONN = np.ones((3, 3), dtype=bool)
 
 
+def _topk_padded(keys: jax.Array, k: int) -> jax.Array:
+    """lax.top_k zero-padded to `k` when the input is shorter than `k`."""
+    kk = min(k, keys.shape[0])
+    vals, _ = jax.lax.top_k(keys, kk)
+    if kk < k:
+        vals = jnp.pad(vals, (0, k - kk))
+    return vals
+
+
 def label_components_host(mask: np.ndarray) -> tuple[np.ndarray, int]:
     """8-connected component labelling on host. Returns (labels, count) where
     labels is int32 with 0 = background."""
@@ -215,12 +224,20 @@ def label_components_rungraph(
          style), early-exiting when a pass changes nothing;
       4. per-pixel labels by reading the root's run-start linear index.
 
+    Both compactions use ``lax.top_k`` over ``n - index`` keys (ascending
+    order out, ~2.5x faster than a ``nonzero``-style full-grid scatter on
+    TPU); run ids are raster-order prefix counts, so the k-th run start IS
+    run k and the start-index table needs no scatter at all.
+
     Semantics match :func:`label_components_device`: int32 labels, -1
     background, each component labelled by the smallest linear index of its
     pixels. Runs beyond ``max_runs`` or edges beyond ``max_edges`` are
-    dropped (far above any real text mask at detector resolution).
+    dropped (the defaults keep ~10x headroom over real text masks at
+    detector resolution; dropped runs lose their pixels, dropped edges can
+    split a component).
     """
     h, w = mask.shape
+    n = h * w
     mask = mask.astype(bool)
     orig_mask = mask
     if solidify:
@@ -233,14 +250,12 @@ def label_components_rungraph(
     dense_flat = jnp.cumsum(rs_flat.astype(jnp.int32)) - 1  # run id per pixel
     rid = jnp.where(mask, dense_flat.reshape(h, w), -1)
     rid = jnp.where(rid < max_runs, rid, -1)
-    # Run-start linear indices (the stable label values).
-    lin = jnp.arange(h * w, dtype=jnp.int32)
-    start_idx = jnp.where(rs_flat, dense_flat, max_runs)
-    start_lin = (
-        jnp.zeros((max_runs,), jnp.int32)
-        .at[start_idx]
-        .set(jnp.where(rs_flat, lin, 0), mode="drop")
-    )
+    # Run-start linear indices (the stable label values): the k-th set bit
+    # of run_start in raster order is exactly run k.
+    lin = jnp.arange(n, dtype=jnp.int32)
+    keys = jnp.where(rs_flat, n - lin, 0)
+    vals = _topk_padded(keys, max_runs)
+    start_lin = jnp.where(vals > 0, n - vals, 0).astype(jnp.int32)
 
     # --- 2. run-adjacency edges (8-connectivity) --------------------------
     above = jnp.pad(rid[:-1], ((1, 0), (0, 0)), constant_values=-1)
@@ -260,9 +275,11 @@ def label_components_rungraph(
     keep = jnp.concatenate(keep)
     edge_a = jnp.concatenate(edge_a)
     edge_b = jnp.concatenate(edge_b)
-    (eidx,) = jnp.nonzero(keep, size=max_edges, fill_value=-1)
-    evalid = eidx >= 0
-    safe = jnp.maximum(eidx, 0)
+    m3 = 3 * n
+    ekeys = jnp.where(keep, m3 - jnp.arange(m3, dtype=jnp.int32), 0)
+    evals = _topk_padded(ekeys, max_edges)
+    evalid = evals > 0
+    safe = jnp.where(evalid, m3 - evals, 0)
     ea = jnp.where(evalid, edge_a[safe], 0)
     eb = jnp.where(evalid, edge_b[safe], 0)
 
@@ -321,7 +338,12 @@ def label_components_multigrid(
     # Connectivity on the half grid is solved on the run graph (exact,
     # shape-independent O(log) iterations); the sweep labeller remains as
     # label_components_device for single-image paths and comparison.
-    labels_half = label_components_rungraph(half, solidify=solidify)
+    # Half-res tables: real 800x608 text pages measure ~430 runs / ~1060
+    # edges, so 4096/8192 keeps ~10x headroom while cutting the union-find's
+    # scatter sizes 4x vs the full-res defaults.
+    labels_half = label_components_rungraph(
+        half, max_runs=4096, max_edges=8192, solidify=solidify
+    )
     up = jnp.repeat(jnp.repeat(labels_half, 2, axis=0), 2, axis=1)[:h, :w]
     return jnp.where(mask, up, -1)
 

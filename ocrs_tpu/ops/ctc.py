@@ -37,6 +37,14 @@ def greedy_labels(logprobs: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def greedy_labels_u8(logprobs: jax.Array) -> jax.Array:
+    """:func:`greedy_labels` cast to uint8 on device (class counts are < 256
+    for any realistic alphabet), quartering the device->host readback that
+    dominates decode latency on relayed transports."""
+    return jnp.argmax(logprobs, axis=-1).astype(jnp.uint8)
+
+
+@jax.jit
 def mask_excluded(logprobs: jax.Array, excluded_onehot: jax.Array) -> jax.Array:
     """Set log-probability of excluded class labels to -inf
     (recognition.rs:547-561). `excluded_onehot` is [C] bool."""

@@ -30,15 +30,12 @@ from ..preprocess import BLACK_VALUE
 
 
 def pad_chain(points: np.ndarray, max_v: int) -> np.ndarray:
-    """Pad an (K, 2) [x, y] chain to (max_v, 2) keeping x strictly
-    increasing (jnp.interp requirement). Also enforces monotone x on the
-    real points (word rects may overlap by a few px)."""
+    """Pad an (K, 2) [x, y] chain to (max_v, 2) with monotone
+    (non-decreasing) x; word rects may overlap by a few px, and the
+    evaluator (`chain_eval` below) resolves equal-x runs by taking the
+    last vertex, so no strictness epsilon is needed."""
     pts = np.asarray(points, dtype=np.float64)
     xs = np.maximum.accumulate(pts[:, 0])
-    # strictly increasing by epsilon where flat
-    for i in range(1, len(xs)):
-        if xs[i] <= xs[i - 1]:
-            xs[i] = xs[i - 1] + 1e-3
     ys = pts[:, 1]
     if len(pts) > max_v:
         # Downsample long chains (rare: >max_v/2 words in one line).
@@ -46,10 +43,32 @@ def pad_chain(points: np.ndarray, max_v: int) -> np.ndarray:
         xs, ys = xs[idx], ys[idx]
     pad = max_v - len(xs)
     if pad:
-        extra = xs[-1] + 1e-3 * np.arange(1, pad + 1)
-        xs = np.concatenate([xs, extra])
+        xs = np.concatenate([xs, np.full(pad, xs[-1])])
         ys = np.concatenate([ys, np.full(pad, ys[-1])])
     return np.stack([xs, ys], axis=1).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_line_batch_packed(
+    page: jax.Array,  # [H, W] or [P, H, W] normalized greyscale page(s)
+    geom: jax.Array,  # [6, N] f32: top, left, height, width, rwidth, page_idx
+    chains: jax.Array,  # [N, 2, V, 2] f32: top and bottom polygon chains
+    *,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """:func:`extract_line_batch` with the per-line geometry packed into TWO
+    host arrays. On relayed transports every eager ``jnp.asarray`` upload
+    pays a round-trip latency; the unpacked form costs ~9 uploads per batch,
+    this form 2 (page_idx rides as f32 — exact below 2^24 pages)."""
+    tops, lefts, heights, line_widths, resized_widths, pidx_f = (
+        geom[0], geom[1], geom[2], geom[3], geom[4], geom[5]
+    )
+    page_idx = pidx_f.astype(jnp.int32) if page.ndim == 3 else None
+    return _extract_impl(
+        page, tops, lefts, heights, line_widths, resized_widths,
+        chains[:, 0], chains[:, 1], page_idx, out_h=out_h, out_w=out_w,
+    )
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
@@ -77,6 +96,26 @@ def extract_line_batch(
     When `page` is a [P, H, W] stack, `page_idx` maps each line to its page —
     one pooled batch can span a whole multi-page group.
     """
+    return _extract_impl(
+        page, tops, lefts, heights, line_widths, resized_widths,
+        top_chain, bot_chain, page_idx, out_h=out_h, out_w=out_w,
+    )
+
+
+def _extract_impl(
+    page,
+    tops,
+    lefts,
+    heights,
+    line_widths,
+    resized_widths,
+    top_chain,
+    bot_chain,
+    page_idx,
+    *,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
     ph, pw = page.shape[-2], page.shape[-1]
     n = tops.shape[0]
 
@@ -123,8 +162,27 @@ def extract_line_batch(
     samples = jnp.swapaxes(samples_t, 1, 2)  # [N, out_h, out_w]
 
     # --- polygon band mask ----------------------------------------------------
-    ytop = jax.vmap(jnp.interp)(in_x, top_chain[..., 0], top_chain[..., 1])  # [N, out_w]
-    ybot = jax.vmap(jnp.interp)(in_x, bot_chain[..., 0], bot_chain[..., 1])
+    # Piecewise-linear chain evaluation. jnp.interp lowers to a scan-based
+    # searchsorted (~20ms/batch on TPU); with V=64 chain vertices a flat
+    # comparison-count over the vertex axis is pure VPU work and measures at
+    # the dispatch floor.
+    def chain_eval(q, chain):
+        cx, cy = chain[..., 0], chain[..., 1]  # [N, V]
+        v = cx.shape[-1]
+        idx = jnp.clip(
+            jnp.sum(cx[:, None, :] <= q[:, :, None], axis=-1) - 1, 0, v - 2
+        )  # [N, out_w]
+        x0 = jnp.take_along_axis(cx, idx, axis=1)
+        x1 = jnp.take_along_axis(cx, idx + 1, axis=1)
+        y0 = jnp.take_along_axis(cy, idx, axis=1)
+        y1 = jnp.take_along_axis(cy, idx + 1, axis=1)
+        t = jnp.clip((q - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+        out = y0 + t * (y1 - y0)
+        out = jnp.where(q < cx[:, :1], cy[:, :1], out)
+        return jnp.where(q > cx[:, -1:], cy[:, -1:], out)
+
+    ytop = chain_eval(in_x, top_chain)  # [N, out_w]
+    ybot = chain_eval(in_x, bot_chain)
     band = (in_y[:, :, None] >= ytop[:, None, :] - 0.5) & (
         in_y[:, :, None] <= ybot[:, None, :] + 0.5
     )

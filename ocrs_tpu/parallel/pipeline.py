@@ -36,10 +36,10 @@ from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
-from ..ops.ctc import beam_decode, collapse_greedy_batch, greedy_labels
-from ..ops.rects import min_area_rects_device, rect_table_to_host
+from ..ops.ctc import beam_decode, collapse_greedy_batch, greedy_labels_u8
+from ..ops.rects import min_area_rects_device, pack_rect_table, unpack_rect_table
 from ..ops.resize import resize_bilinear
-from ..ops.warp import extract_line_batch, pad_chain
+from ..ops.warp import extract_line_batch_packed, pad_chain
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
 from ..recognition import (
     single_bucket,
@@ -51,7 +51,7 @@ from ..recognition import (
     _pad_batch_size,
     _text_lines_from_results,
     ladder_bucket,
-    line_polygon,
+    line_polygons_batch,
     mask_excluded,
     resized_line_width,
 )
@@ -109,7 +109,7 @@ def _masks_to_tables(
     max_components,
     multigrid=True,
     solidify=True,
-    max_boundary=65536,
+    max_boundary=16384,
 ):
     """[B, 1, mh, mw] probabilities -> per-page rect tables (stacked)."""
     masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
@@ -127,12 +127,12 @@ def _masks_to_tables(
         from ..ops.connected_components import label_components_device
 
         labels = jax.vmap(partial(label_components_device, solidify=solidify))(masks)
-    # Boundary pixels at detector resolution are bounded by ~perimeter sums;
-    # 64k gives >2x headroom over dense text pages and halves the sort.
-    # max_points=256 keeps every boundary point for components up to a
-    # 256px perimeter (any real word at detector resolution) and halves the
-    # dense-tile gather; larger merged blobs get uniform raster subsampling.
-    return jax.vmap(
+    # Run-endpoint counts at detector resolution are ~1.6k/page on dense
+    # text; 16k gives ~10x headroom. max_points=256 keeps every endpoint for
+    # components up to ~256 runs (any real word at detector resolution);
+    # larger merged blobs get uniform block subsampling. The table comes
+    # back PACKED ([B, 9, C] f32) so the host pays one readback latency.
+    tables = jax.vmap(
         partial(
             min_area_rects_device,
             max_components=max_components,
@@ -140,6 +140,7 @@ def _masks_to_tables(
             max_boundary=max_boundary,
         )
     )(labels)
+    return pack_rect_table(tables)
 
 
 @partial(jax.jit, static_argnames=("input_hw", "offsets"))
@@ -225,7 +226,7 @@ class PagePipeline:
         detector_params: TextDetectorParams = TextDetectorParams(),
         width_bucket: Optional[Callable[[int], int]] = None,
         max_lines_per_batch: int = 128,
-        max_components: int = 1024,
+        max_components: int = 512,
         mesh=None,
         multigrid: bool = True,
         solidify: bool = True,
@@ -321,10 +322,10 @@ class PagePipeline:
         page_probs = _stitch_tiles_batch(
             probs, page_hw=(page_h, page_w), offsets=offsets, batch=b
         )
-        # Page-resolution masks carry more boundary pixels than the detector
+        # Page-resolution masks carry more run endpoints than the detector
         # input; scale the compaction buffers with the area ratio.
         area_ratio = max((page_h * page_w) / (self._det_hw[0] * self._det_hw[1]), 1.0)
-        max_boundary = int(min(2 ** 20, 65536 * area_ratio))
+        max_boundary = int(min(2 ** 18, 16384 * area_ratio))
         tables = _masks_to_tables(
             page_probs[:, None],
             crop_hw=(page_h, page_w),
@@ -338,33 +339,63 @@ class PagePipeline:
 
     def _tables_to_words(self, tables, scale) -> list[list[RotatedRect]]:
         sx, sy = scale
-        # ONE device->host copy for the whole stacked table.
-        for leaf in jax.tree.leaves(tables):
-            try:
-                leaf.copy_to_host_async()
-            except AttributeError:
-                break
-        t = jax.device_get(tables)
+        # ONE device->host readback: tables arrive as a packed [B, 9, C]
+        # array (see _masks_to_tables), so the relay round-trip latency is
+        # paid once, not once per field.
+        t = unpack_rect_table(jax.device_get(tables))
+        dropped = int(np.asarray(t["dropped"]).sum())
+        if dropped > 0:
+            from ..utils.log import warn
+
+            warn(
+                f"detection rect table overflow: {dropped} components beyond "
+                "max_components were dropped"
+            )
         b = t["valid"].shape[0]
+        iso = abs(sx - sy) < 1e-9
         per_page: list[list[RotatedRect]] = []
         for i in range(b):
+            idx = np.nonzero(t["valid"][i])[0]
+            cx = t["cx"][i][idx].astype(np.float64)
+            cy = t["cy"][i][idx].astype(np.float64)
+            ux = t["ux"][i][idx].astype(np.float64)
+            uy = t["uy"][i][idx].astype(np.float64)
+            w = t["w"][i][idx].astype(np.float64)
+            h = t["h"][i][idx].astype(np.float64)
+            # Vectorized _scale_rotated_rect for the isotropic and
+            # axis-aligned cases (the general case re-fits via the hull).
+            axis_aligned = (np.abs(ux) < 1e-9) | (np.abs(uy) < 1e-9)
+            if iso:
+                sw, sh = w * sx, h * sy
+            else:
+                wx_axis = np.abs(uy) >= 1e-9  # width lies along x when up is vertical
+                sw = np.where(wx_axis, w * sx, w * sy)
+                sh = np.where(wx_axis, h * sy, h * sx)
+            scx, scy = cx * sx, cy * sy
+            # Scale-proportional expansion: see detection.py
+            # _detect_words_model_res.
+            ew = sw + 2.0 * EXPAND_DIST * sx
+            eh = sh + 2.0 * EXPAND_DIST * sy
+            keep = ew * eh >= self._params.min_area
             words: list[RotatedRect] = []
-            for j in np.nonzero(t["valid"][i])[0]:
-                rect = RotatedRect(
-                    (float(t["cx"][i][j]), float(t["cy"][i][j])),
-                    (float(t["ux"][i][j]), float(t["uy"][i][j])),
-                    float(t["w"][i][j]),
-                    float(t["h"][i][j]),
-                )
-                scaled = _scale_rotated_rect(rect, sx, sy)
-                # Scale-proportional expansion: see detection.py
-                # _detect_words_model_res.
-                scaled.resize(
-                    scaled.width + 2.0 * EXPAND_DIST * sx,
-                    scaled.height + 2.0 * EXPAND_DIST * sy,
-                )
-                if scaled.area() >= self._params.min_area:
-                    words.append(scaled)
+            for j in range(len(idx)):
+                if iso or axis_aligned[j]:
+                    if not keep[j]:
+                        continue
+                    words.append(
+                        RotatedRect(
+                            (scx[j], scy[j]), (ux[j], uy[j]), ew[j], eh[j]
+                        )
+                    )
+                else:
+                    rect = RotatedRect((cx[j], cy[j]), (ux[j], uy[j]), w[j], h[j])
+                    scaled = _scale_rotated_rect(rect, sx, sy)
+                    scaled.resize(
+                        scaled.width + 2.0 * EXPAND_DIST * sx,
+                        scaled.height + 2.0 * EXPAND_DIST * sy,
+                    )
+                    if scaled.area() >= self._params.min_area:
+                        words.append(scaled)
             per_page.append(words)
         return per_page
 
@@ -373,29 +404,31 @@ class PagePipeline:
     def _recognize_pooled(
         self, pages_dev: jax.Array, per_page_lines: list[list[list[RotatedRect]]]
     ) -> list[list[Optional[TextLine]]]:
-        # Build pooled line records tagged (page, line_index).
-        pooled: list[tuple[int, _RecLine]] = []
+        # Build pooled line records tagged (page, line_index): polygons and
+        # union rects for ALL lines in the group come from one vectorized
+        # pass (line_polygons_batch) instead of ~25 numpy calls per line.
+        flat: list[tuple[int, int]] = []
+        flat_words: list[list[RotatedRect]] = []
         for pg, lines in enumerate(per_page_lines):
             for li, words in enumerate(lines):
-                poly = line_polygon(words)
-                brs = [w.bounding_rect() for w in words]
-                br = brs[0]
-                for r in brs[1:]:
-                    br = br.union(r)
-                lr = br.integral_bounding_rect()
-                pooled.append(
-                    (
-                        pg,
-                        _RecLine(
-                            index=li,
-                            poly=poly,
-                            rect=lr,
-                            resized_width=resized_line_width(
-                                lr.width, lr.height, self._rec_h
-                            ),
+                flat.append((pg, li))
+                flat_words.append(words)
+        polys, rects = line_polygons_batch(flat_words)
+        pooled: list[tuple[int, _RecLine]] = []
+        for (pg, li), poly, lr in zip(flat, polys, rects):
+            pooled.append(
+                (
+                    pg,
+                    _RecLine(
+                        index=li,
+                        poly=poly,
+                        rect=lr,
+                        resized_width=resized_line_width(
+                            lr.width, lr.height, self._rec_h
                         ),
-                    )
+                    ),
                 )
+            )
 
         groups: dict[int, list[tuple[int, _RecLine]]] = {}
         for item in pooled:
@@ -448,37 +481,31 @@ class PagePipeline:
         n = len(batch)
         n_pad = _pad_batch_size(n, self._max_lines)
 
-        def rows(get):
-            vals = [get(rl) for _, rl in batch]
-            vals += [vals[-1]] * (n_pad - n)
-            return np.asarray(vals, dtype=np.float32)
-
-        tops = rows(lambda rl: rl.rect.top)
-        lefts = rows(lambda rl: rl.rect.left)
-        heights = rows(lambda rl: rl.rect.height)
-        widths = rows(lambda rl: rl.rect.width)
-        rwidths = rows(lambda rl: rl.resized_width)
-        page_idx = np.asarray(
-            [pg for pg, _ in batch] + [batch[-1][0]] * (n_pad - n), dtype=np.int32
-        )
+        # Pack ALL per-line geometry into two arrays -> two host->device
+        # uploads per batch instead of ~9 (each upload pays a round-trip
+        # latency on relayed transports).
+        geom = np.empty((6, n_pad), dtype=np.float32)
+        for col, (pg, rl) in enumerate(batch):
+            geom[0, col] = rl.rect.top
+            geom[1, col] = rl.rect.left
+            geom[2, col] = rl.rect.height
+            geom[3, col] = rl.rect.width
+            geom[4, col] = rl.resized_width
+            geom[5, col] = pg
+        geom[:, n:] = geom[:, n - 1 : n]
 
         v = MAX_CHAIN_V
         half = lambda rl: len(rl.poly) // 2
-        chains_t = [pad_chain(rl.poly[: half(rl)], v) for _, rl in batch]
-        chains_b = [pad_chain(rl.poly[half(rl) :][::-1], v) for _, rl in batch]
-        chains_t += [chains_t[-1]] * (n_pad - n)
-        chains_b += [chains_b[-1]] * (n_pad - n)
+        chains = np.empty((n_pad, 2, v, 2), dtype=np.float32)
+        for col, (_, rl) in enumerate(batch):
+            chains[col, 0] = pad_chain(rl.poly[: half(rl)], v)
+            chains[col, 1] = pad_chain(rl.poly[half(rl) :][::-1], v)
+        chains[n:] = chains[n - 1 : n]
 
-        crops = extract_line_batch(
+        crops = extract_line_batch_packed(
             pages_dev,
-            jnp.asarray(tops),
-            jnp.asarray(lefts),
-            jnp.asarray(heights),
-            jnp.asarray(widths),
-            jnp.asarray(rwidths),
-            jnp.asarray(np.stack(chains_t)),
-            jnp.asarray(np.stack(chains_b)),
-            jnp.asarray(page_idx),
+            jnp.asarray(geom),
+            jnp.asarray(chains),
             out_h=self._rec_h,
             out_w=group_width,
         )
@@ -493,7 +520,7 @@ class PagePipeline:
         if self._excluded_onehot is not None:
             lp = mask_excluded(lp, jnp.asarray(self._excluded_onehot[:n_classes]))
         if greedy:
-            return greedy_labels(lp)[:n]
+            return greedy_labels_u8(lp)[:n]
         return lp[:n]
 
     # -- entry ------------------------------------------------------------------
