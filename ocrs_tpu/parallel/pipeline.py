@@ -276,6 +276,10 @@ class PagePipeline:
         self._tiled = tiled_detection
         self._tile_overlap = tile_overlap
         self._debug = debug
+        # Fused detect program cache: None = untried, False = model's run()
+        # not traceable (dispatch stage-at-a-time), else the jitted callable.
+        self._fused_detect = None
+        self._fused_detect_shape = None
         # Label i (>=1) maps to alphabet[i-1]; excluded labels from the
         # allowed set (lib.rs:153-170).
         self._excluded_onehot: Optional[np.ndarray] = None
@@ -297,16 +301,39 @@ class PagePipeline:
         pad_bottom = max(in_h - page_h, 0)
         pad_right = max(in_w - page_w, 0)
         crop_h, crop_w = in_h - pad_bottom, in_w - pad_right
-        x = _detect_pre_batch(pages_dev, input_hw=self._det_hw, pads=(pad_bottom, pad_right))
-        probs = self._det.run(x)
-        tables = _masks_to_tables(
-            probs,
-            crop_hw=(crop_h, crop_w),
-            threshold=self._params.text_threshold,
-            max_components=self._max_components,
-            multigrid=self._multigrid,
-            solidify=self._solidify,
-        )
+
+        def run_stages(pages):
+            x = _detect_pre_batch(
+                pages, input_hw=self._det_hw, pads=(pad_bottom, pad_right)
+            )
+            probs = self._det.run(x)
+            return _masks_to_tables(
+                probs,
+                crop_hw=(crop_h, crop_w),
+                threshold=self._params.text_threshold,
+                max_components=self._max_components,
+                multigrid=self._multigrid,
+                solidify=self._solidify,
+            )
+
+        # Fuse pre-resize + model forward + mask post-processing into ONE
+        # program: each separate dispatch pays round-trip overhead on relayed
+        # transports, and the fusion lets XLA overlap stages. Models whose
+        # run() isn't traceable fall back to stage-at-a-time dispatch.
+        key = pages_dev.shape
+        if self._fused_detect_shape != key and self._fused_detect is not False:
+            try:
+                fused = jax.jit(run_stages)
+                tables = fused(pages_dev)
+                self._fused_detect = fused
+                self._fused_detect_shape = key
+            except Exception:
+                self._fused_detect = False
+                tables = run_stages(pages_dev)
+        elif self._fused_detect is False:
+            tables = run_stages(pages_dev)
+        else:
+            tables = self._fused_detect(pages_dev)
         return tables, (page_w / crop_w, page_h / crop_h)
 
     def _detect_tables_tiled(self, pages_dev: jax.Array):
