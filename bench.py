@@ -402,9 +402,10 @@ def main() -> None:
 
     pages_dev = _normalize_batch(jnp.asarray(pages[..., None]), True)
     pipeline.process_normalized(pages_dev)  # warm
+    # Software-pipelined: group N's host-side work (table readback, layout,
+    # decode) hides behind the device running group N+1's detect.
     t0 = time.perf_counter()
-    for _ in range(N_BATCHES):
-        pipeline.process_normalized(pages_dev)
+    pipeline.process_stream([pages_dev] * N_BATCHES)
     compute_pps = total_pages / (time.perf_counter() - t0)
 
     breakdown = stage_breakdown(pipeline, pages)

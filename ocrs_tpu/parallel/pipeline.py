@@ -552,10 +552,13 @@ class PagePipeline:
 
     # -- entry ------------------------------------------------------------------
 
-    def _stage_pages(self, pages: np.ndarray) -> jax.Array:
+    def _stage_pages(self, pages) -> jax.Array:
         """Asynchronously upload + normalize a page stack; returns the device
         array without synchronizing (device_put and the normalize dispatch
-        both return before the copy/compute completes)."""
+        both return before the copy/compute completes). A [B, H, W] float32
+        jax.Array is treated as already normalized and returned as-is."""
+        if isinstance(pages, jax.Array) and pages.ndim == 3 and pages.dtype == jnp.float32:
+            return pages
         imgs = np.asarray(pages)
         if imgs.ndim == 3:
             imgs = imgs[..., None]
@@ -576,24 +579,49 @@ class PagePipeline:
         return self.process_normalized(self._stage_pages(pages))
 
     def process_stream(self, page_batches) -> "list[list[PageResult]]":
-        """Run OCR over an iterable of page stacks with upload/compute
-        overlap: group N+1's host->device copy is dispatched BEFORE group N
-        synchronizes for decode, so on slow transports the transfer hides
-        behind compute (double buffering). Returns per-group results.
+        """Run OCR over an iterable of page stacks as a software pipeline:
 
-        The reference has no analog (single image at a time); this is the
-        TPU-native replacement for its rayon thread-pool overlap
-        (recognition.rs:464-467) at page granularity."""
+        * group N+2's host->device upload is dispatched first (double
+          buffering hides transfer behind compute on slow transports);
+        * group N+1's DETECT program is dispatched (async) before group N's
+          host-side work, so the ~150ms of per-group host work (rect-table
+          readback, layout, batch prep, CTC collapse) hides behind the
+          device executing the next group's detection;
+        * group N then syncs its (already-computed) tables and finishes
+          layout + recognition.
+
+        Returns per-group results. The reference has no analog (single image
+        at a time); this is the TPU-native replacement for its rayon
+        thread-pool overlap (recognition.rs:464-467) at page granularity."""
         results = []
-        staged = None
+        staged = None  # uploaded, not yet detected
+        detected = None  # (pages_dev, tables, scale), detect dispatched
         for batch in page_batches:
-            nxt = self._stage_pages(batch)  # async upload of group N+1
+            nxt = self._stage_pages(batch)  # async upload of group N+2
             if staged is not None:
-                results.append(self.process_normalized(staged))
+                pending = (staged, *self._detect_tables(staged))  # async
+                if detected is not None:
+                    results.append(self._finish_group(*detected))
+                detected = pending
             staged = nxt
         if staged is not None:
-            results.append(self.process_normalized(staged))
+            pending = (staged, *self._detect_tables(staged))
+            if detected is not None:
+                results.append(self._finish_group(*detected))
+            detected = pending
+        if detected is not None:
+            results.append(self._finish_group(*detected))
         return results
+
+    def _finish_group(self, pages_dev, tables, scale) -> list[PageResult]:
+        """Host-side tail of one group: table readback, layout, recognition."""
+        per_page_words = self._tables_to_words(tables, scale)
+        per_page_lines = [find_text_lines(words) for words in per_page_words]
+        per_page_text = self._recognize_pooled(pages_dev, per_page_lines)
+        return [
+            PageResult(words=w, lines=l, text_lines=t)
+            for w, l, t in zip(per_page_words, per_page_lines, per_page_text)
+        ]
 
     def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:
         """Run OCR on pages already normalized and resident in HBM

@@ -55,6 +55,37 @@ def test_sharded_pipeline_matches_unsharded():
         assert len(a.words) == len(b.words)
 
 
+def test_process_stream_matches_per_group_process():
+    """The software-pipelined stream (upload N+2 / detect N+1 / finish N in
+    flight simultaneously) must produce exactly the per-group results of
+    serial process() calls, in order."""
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    groups = []
+    for g in range(3):
+        pages = np.zeros((4, 100, 200), dtype=np.float32)
+        for i in range(4):
+            pages[i, 30:50, 20 + 5 * (g + i) : 90 + 5 * (g + i)] = 1.0
+        groups.append(pages)
+
+    pipe = PagePipeline(
+        FakeDetectionModel(),
+        FakeRecognitionModel(),
+        DEFAULT_ALPHABET[:63],
+        max_lines_per_batch=8,
+    )
+    serial = [pipe.process(g) for g in groups]
+    streamed = pipe.process_stream(groups)
+    assert len(streamed) == len(serial) == 3
+    for sg, tg in zip(serial, streamed):
+        assert len(sg) == len(tg)
+        for a, b in zip(sg, tg):
+            assert a.text == b.text
+            assert len(a.words) == len(b.words)
+
+
 def test_pipeline_matches_engine_all_decode_configs():
     """The pooled multi-page pipeline must produce the same text as the
     single-image engine on the same pages for every decode configuration
