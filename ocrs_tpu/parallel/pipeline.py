@@ -280,6 +280,9 @@ class PagePipeline:
         # not traceable (dispatch stage-at-a-time), else the jitted callable.
         self._fused_detect = None
         self._fused_detect_shape = None
+        # Fused recognition programs keyed by (width, n_pad, greedy);
+        # "disabled" -> stage-at-a-time dispatch.
+        self._fused_rec: dict = {}
         # Label i (>=1) maps to alphabet[i-1]; excluded labels from the
         # allowed set (lib.rs:153-170).
         self._excluded_onehot: Optional[np.ndarray] = None
@@ -529,26 +532,49 @@ class PagePipeline:
             chains[col, 1] = pad_chain(rl.poly[half(rl) :][::-1], v)
         chains[n:] = chains[n - 1 : n]
 
-        crops = extract_line_batch_packed(
-            pages_dev,
-            jnp.asarray(geom),
-            jnp.asarray(chains),
-            out_h=self._rec_h,
-            out_w=group_width,
-        )
-        logprobs = self._rec.run(crops)  # [T, n_pad, C]
-        n_classes = int(logprobs.shape[-1])
-        if len(self._alphabet) + 1 != n_classes:
-            raise WrongOutputError(
-                f"output column count ({n_classes}) does not match "
-                f"alphabet size ({len(self._alphabet) + 1})"
+        def run_stages(pages, geom_dev, chains_dev):
+            crops = extract_line_batch_packed(
+                pages, geom_dev, chains_dev, out_h=self._rec_h, out_w=group_width
             )
-        lp = jnp.transpose(logprobs, (1, 0, 2))  # [n_pad, T, C]
-        if self._excluded_onehot is not None:
-            lp = mask_excluded(lp, jnp.asarray(self._excluded_onehot[:n_classes]))
-        if greedy:
-            return greedy_labels_u8(lp)[:n]
-        return lp[:n]
+            logprobs = self._rec.run(crops)  # [T, n_pad, C]
+            n_classes = int(logprobs.shape[-1])
+            if len(self._alphabet) + 1 != n_classes:
+                # Static shape: raises at trace time on the first batch
+                # (recognition.rs:487-493 parity).
+                raise WrongOutputError(
+                    f"output column count ({n_classes}) does not match "
+                    f"alphabet size ({len(self._alphabet) + 1})"
+                )
+            lp = jnp.transpose(logprobs, (1, 0, 2))  # [n_pad, T, C]
+            if self._excluded_onehot is not None:
+                lp = mask_excluded(
+                    lp, jnp.asarray(self._excluded_onehot[:n_classes])
+                )
+            return greedy_labels_u8(lp) if greedy else lp
+
+        # One fused program per (width, n_pad, decode) shape — extract,
+        # model forward and the greedy argmax dispatch as a single round
+        # trip (same rationale as the fused detect program). Models whose
+        # run() isn't traceable fall back to stage-at-a-time dispatch.
+        key = (group_width, n_pad, greedy)
+        fused = self._fused_rec.get(key)
+        geom_dev = jnp.asarray(geom)
+        chains_dev = jnp.asarray(chains)
+        if fused is None and self._fused_rec.get("disabled") is not True:
+            try:
+                fused = jax.jit(run_stages)
+                out = fused(pages_dev, geom_dev, chains_dev)
+                self._fused_rec[key] = fused
+            except WrongOutputError:
+                raise
+            except Exception:
+                self._fused_rec["disabled"] = True
+                out = run_stages(pages_dev, geom_dev, chains_dev)
+        elif fused is None:
+            out = run_stages(pages_dev, geom_dev, chains_dev)
+        else:
+            out = fused(pages_dev, geom_dev, chains_dev)
+        return out[:n]
 
     # -- entry ------------------------------------------------------------------
 
