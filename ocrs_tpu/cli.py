@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help=argparse.SUPPRESS,  # deterministic test models for golden E2E tests
     )
+    p.add_argument(
+        "--serve",
+        metavar="PORT",
+        type=int,
+        default=None,
+        help="Start the HTTP serving API on PORT instead of processing an "
+        "image (see ocrs_tpu.serve; the js/ client targets this)",
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -156,6 +164,33 @@ def main(argv=None) -> int:
     from .recognition import BeamSearch, Greedy
 
     det, rec = _load_models(args)
+
+    if args.serve is not None:
+        from .serve import serve
+
+        engine = OcrEngine(
+            OcrEngineParams(
+                detection_model=det,
+                recognition_model=rec,
+                debug=args.debug,
+                decode_method=BeamSearch(width=100) if args.beam else Greedy(),
+                alphabet=args.alphabet,
+                allowed_chars=args.allowed_chars,
+            )
+        )
+        server = serve(engine, host="0.0.0.0", port=args.serve)
+        print(
+            f"serving OCR API on :{server.server_address[1]} "
+            "(POST /ocr, /ocr/text, /ocr/detect, /session; GET /healthz)",
+            file=sys.stderr,
+        )
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
 
     if args.clipboard:
         if args.image is not None:

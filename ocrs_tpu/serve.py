@@ -19,6 +19,20 @@ Method parity with the wasm API:
 
 The HTTP layer (:func:`serve`) is a thin stdlib wrapper: POST /ocr with an
 image body returns the JSON document, GET /healthz reports device status.
+The session endpoints expose the SAME lifecycle over HTTP for out-of-process
+embedders (the `js/` node client uses them):
+
+  * ``POST /session``                  image body -> ``{"id": ...}``
+  * ``POST /session/<id>/detect``      -> detected lines with word rects
+  * ``POST /session/<id>/recognize``   ``{"lines": [i, ...]}`` -> lazy
+    per-line recognition (extension pattern, background.ts:196-211)
+  * ``GET  /session/<id>/text``        -> full-pipeline plain text
+  * ``DELETE /session/<id>``           -> drop the session
+  * ``POST /ocr/detect``               stateless detect-only
+
+Rect encodings mirror the wasm API: ``rect`` = [left, top, right, bottom]
+(``boundingRect``), ``corners`` = flat [x0, y0, ... x3, y3]
+(wasm_api.rs:263-269).
 """
 
 from __future__ import annotations
@@ -209,65 +223,221 @@ class BatchingOcrService:
                         fut.set_exception(exc)
 
 
+def _rect_json(r) -> list[float]:
+    """[left, top, right, bottom] like wasm boundingRect."""
+    return [float(r.left), float(r.top), float(r.right), float(r.bottom)]
+
+
+def _rrect_json(rr: RotatedRect) -> dict:
+    """Bounding rect + flat corners, wasm_api.rs:263-269 encoding."""
+    br = rr.bounding_rect()
+    corners = [float(v) for c in rr.corners() for v in c]
+    return {"rect": _rect_json(br), "corners": corners}
+
+
+def _detected_lines_json(lines: "list[DetectedLine]") -> dict:
+    return {
+        "lines": [
+            {"index": l.index, "words": [_rrect_json(w) for w in l.words]}
+            for l in lines
+        ]
+    }
+
+
+def _recognized_json(indexes, text_lines) -> dict:
+    out = []
+    for idx, tl in zip(indexes, text_lines):
+        if tl is None:
+            out.append({"index": idx, "text": None, "words": []})
+            continue
+        words = [
+            {"text": str(w), "rect": _rect_json(w.bounding_rect())}
+            for w in tl.words()
+        ]
+        out.append({"index": idx, "text": str(tl), "words": words})
+    return {"lines": out}
+
+
+class SessionStore:
+    """In-memory session map with TTL eviction for the HTTP session API."""
+
+    def __init__(self, engine: OcrEngine, ttl_s: float = 300.0, max_sessions: int = 32):
+        import time as _time
+
+        self._engine = engine
+        self._ttl = ttl_s
+        self._max = max_sessions
+        self._lock = threading.Lock()
+        self._sessions: dict[str, tuple[float, OcrSession]] = {}
+        self._time = _time
+
+    def _evict_locked(self) -> None:
+        now = self._time.monotonic()
+        dead = [k for k, (t, _) in self._sessions.items() if now - t > self._ttl]
+        for k in dead:
+            del self._sessions[k]
+        while len(self._sessions) >= self._max:
+            oldest = min(self._sessions, key=lambda k: self._sessions[k][0])
+            del self._sessions[oldest]
+
+    def create(self, image: np.ndarray) -> str:
+        import uuid
+
+        session = OcrSession(self._engine)
+        session.load_image(image)
+        sid = uuid.uuid4().hex[:16]
+        with self._lock:
+            self._evict_locked()
+            self._sessions[sid] = (self._time.monotonic(), session)
+        return sid
+
+    def get(self, sid: str) -> Optional[OcrSession]:
+        with self._lock:
+            entry = self._sessions.get(sid)
+            if entry is None:
+                return None
+            self._sessions[sid] = (self._time.monotonic(), entry[1])
+            return entry[1]
+
+    def delete(self, sid: str) -> bool:
+        with self._lock:
+            return self._sessions.pop(sid, None) is not None
+
+
 def make_handler(engine: OcrEngine, service: Optional[BatchingOcrService] = None):
+    sessions = SessionStore(engine)
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
+
+        def _reply(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _reply_json(self, obj, code: int = 200) -> None:
+            self._reply(code, json.dumps(obj).encode(), "application/json")
+
+        def _read_body(self) -> bytes:
+            length = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(length)
+
+        def _decode_image(self, data: bytes) -> np.ndarray:
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+        def _session_route(self):
+            """Parse /session/<id>/<verb> -> (session, verb) or respond."""
+            parts = self.path.strip("/").split("/")
+            if len(parts) < 2:
+                self.send_error(404)
+                return None
+            session = sessions.get(parts[1])
+            if session is None:
+                self.send_error(404, "unknown session")
+                return None
+            return session, (parts[2] if len(parts) > 2 else "")
 
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
 
-                body = json.dumps(
+                self._reply_json(
                     {"status": "ok", "devices": [str(d) for d in jax.devices()]}
-                ).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                )
+            elif self.path.startswith("/session/"):
+                route = self._session_route()
+                if route is None:
+                    return
+                session, verb = route
+                if verb != "text":
+                    self.send_error(404)
+                    return
+                try:
+                    text = session.get_text()
+                except Exception as exc:  # noqa: BLE001 - report to client
+                    self._reply(400, f"error: {exc}".encode(), "text/plain")
+                    return
+                self._reply(200, text.encode(), "text/plain; charset=utf-8")
+            else:
+                self.send_error(404)
+
+        def do_DELETE(self):
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 2 and parts[0] == "session":
+                if sessions.delete(parts[1]):
+                    self._reply_json({"deleted": True})
+                else:
+                    self.send_error(404, "unknown session")
             else:
                 self.send_error(404)
 
         def do_POST(self):
-            if self.path not in ("/ocr", "/ocr/text"):
-                self.send_error(404)
-                return
-            length = int(self.headers.get("Content-Length", 0))
-            data = self.rfile.read(length)
             try:
-                from PIL import Image
-
-                img = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
-                if service is not None:
-                    text_lines = service.submit(img).result(timeout=600)
-                else:
+                if self.path in ("/ocr", "/ocr/text"):
+                    self._post_ocr()
+                elif self.path == "/ocr/detect":
+                    img = self._decode_image(self._read_body())
                     session = OcrSession(engine)
                     session.load_image(img)
-                    text_lines = session.get_text_lines()
-                if self.path == "/ocr/text":
-                    body = "\n".join(
-                        str(l) for l in text_lines if l is not None
-                    ).encode()
-                    ctype = "text/plain; charset=utf-8"
+                    self._reply_json(_detected_lines_json(session.detect_text()))
+                elif self.path == "/session":
+                    img = self._decode_image(self._read_body())
+                    self._reply_json({"id": sessions.create(img)})
+                elif self.path.startswith("/session/"):
+                    self._post_session()
                 else:
-                    body = format_json_output(
-                        FormatJsonArgs(
-                            input_path="<request>",
-                            input_hw=(img.shape[0], img.shape[1]),
-                            text_lines=text_lines,
-                        )
-                    ).encode()
-                    ctype = "application/json"
+                    self.send_error(404)
             except Exception as exc:  # noqa: BLE001 - report to client
-                self.send_response(400)
-                self.send_header("Content-Type", "text/plain")
-                self.end_headers()
-                self.wfile.write(f"error: {exc}".encode())
+                self._reply(400, f"error: {exc}".encode(), "text/plain")
+
+        def _post_ocr(self):
+            img = self._decode_image(self._read_body())
+            if service is not None:
+                text_lines = service.submit(img).result(timeout=600)
+            else:
+                session = OcrSession(engine)
+                session.load_image(img)
+                text_lines = session.get_text_lines()
+            if self.path == "/ocr/text":
+                body = "\n".join(
+                    str(l) for l in text_lines if l is not None
+                ).encode()
+                self._reply(200, body, "text/plain; charset=utf-8")
+            else:
+                body = format_json_output(
+                    FormatJsonArgs(
+                        input_path="<request>",
+                        input_hw=(img.shape[0], img.shape[1]),
+                        text_lines=text_lines,
+                    )
+                ).encode()
+                self._reply(200, body, "application/json")
+
+        def _post_session(self):
+            route = self._session_route()
+            if route is None:
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", ctype)
-            self.end_headers()
-            self.wfile.write(body)
+            session, verb = route
+            if verb == "detect":
+                self._reply_json(_detected_lines_json(session.detect_text()))
+            elif verb == "recognize":
+                body = self._read_body()
+                req = json.loads(body or b"{}")
+                if session._lines is None:
+                    session.detect_text()
+                lines = session._lines
+                indexes = req.get("lines")
+                if indexes is None:
+                    indexes = [l.index for l in lines]
+                chosen = [lines[i] for i in indexes]
+                text_lines = session.recognize_text(chosen)
+                self._reply_json(_recognized_json(indexes, text_lines))
+            else:
+                self.send_error(404)
 
     return Handler
 

@@ -85,6 +85,59 @@ def test_http_server_roundtrip(tmp_path):
         server.shutdown()
 
 
+def test_http_session_api_lazy_recognition():
+    """Session endpoints mirror the wasm OcrEngine lifecycle over HTTP
+    (load -> detect -> lazy recognize subset -> full text -> delete)."""
+    import io
+    import urllib.error
+
+    from PIL import Image
+
+    from ocrs_tpu.serve import serve
+
+    server = serve(_fake_engine(), port=0)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        buf = io.BytesIO()
+        Image.fromarray((_word_image() * 255).astype(np.uint8)).save(buf, format="PNG")
+        png = buf.getvalue()
+
+        def post(path, data=None):
+            req = urllib.request.Request(f"{base}{path}", data=data or b"", method="POST")
+            with urllib.request.urlopen(req, timeout=120) as r:
+                body = r.read()
+            return json.loads(body) if body.startswith(b"{") else body
+
+        # stateless detect-only
+        det = post("/ocr/detect", png)
+        assert len(det["lines"]) >= 1
+        assert "rect" in det["lines"][0]["words"][0]
+        assert len(det["lines"][0]["words"][0]["corners"]) == 8
+
+        # session lifecycle
+        sid = post("/session", png)["id"]
+        lines = post(f"/session/{sid}/detect")["lines"]
+        assert len(lines) >= 1
+        # lazy subset: recognize only line 0
+        rec = post(
+            f"/session/{sid}/recognize", json.dumps({"lines": [0]}).encode()
+        )
+        assert len(rec["lines"]) == 1 and rec["lines"][0]["index"] == 0
+        # full text
+        with urllib.request.urlopen(f"{base}/session/{sid}/text", timeout=120) as r:
+            assert r.status == 200
+        # delete, then the session is gone
+        req = urllib.request.Request(f"{base}/session/{sid}", method="DELETE")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert json.loads(r.read())["deleted"] is True
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            post(f"/session/{sid}/detect")
+        assert exc_info.value.code == 404
+    finally:
+        server.shutdown()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import optax
 
