@@ -536,6 +536,10 @@ class PagePipeline:
             crops = extract_line_batch_packed(
                 pages, geom_dev, chains_dev, out_h=self._rec_h, out_w=group_width
             )
+            # bf16 crops: the recognizer computes in bf16 anyway; casting at
+            # the fusion boundary halves the crop-batch materialization
+            # (80MB -> 40MB for a 128x2432 batch).
+            crops = crops.astype(jnp.bfloat16)
             logprobs = self._rec.run(crops)  # [T, n_pad, C]
             n_classes = int(logprobs.shape[-1])
             if len(self._alphabet) + 1 != n_classes:
