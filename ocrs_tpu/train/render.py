@@ -199,7 +199,7 @@ def sample_word(rng: np.random.Generator, alphabet: str = DEFAULT_ALPHABET) -> s
             w = f"{int(rng.integers(1, 99))}%"
         else:
             w = str(int(rng.integers(0, 9999)))
-    elif r < 0.76:
+    elif r < 0.73:
         # Citation clusters like [12][15] or (20)(1).
         open_c, close_c = _WRAPPERS[int(rng.integers(0, 2))]
         parts = [
@@ -207,6 +207,23 @@ def sample_word(rng: np.random.Generator, alphabet: str = DEFAULT_ALPHABET) -> s
             for _ in range(int(rng.integers(1, 3)))
         ]
         w = "".join(parts)
+    elif r < 0.76:
+        # Confusable-glyph patterns the goldens exposed (O/0, l/I/1):
+        # decades/ordinals ("2000s", "20th"), capital-I words ("Islands"),
+        # and mixed runs that force shape discrimination.
+        kind = rng.random()
+        if kind < 0.3:
+            w = f"{int(rng.integers(10, 210)) * 10}s"
+        elif kind < 0.5:
+            n = int(rng.integers(1, 31))
+            suf = {1: "st", 2: "nd", 3: "rd"}.get(n % 10 if n not in (11, 12, 13) else 0, "th")
+            w = f"{n}{suf}"
+        elif kind < 0.7:
+            base = _VOCAB[int(rng.integers(len(_VOCAB)))]
+            w = ("I" if rng.random() < 0.6 else "l") + base
+        else:
+            pool = "O0oIl1"
+            w = "".join(pool[int(rng.integers(len(pool)))] for _ in range(int(rng.integers(2, 6))))
     elif r < 0.86:
         # Hyphenated / apostrophe / slashed compounds.
         a = _VOCAB[int(rng.integers(len(_VOCAB)))]
@@ -396,7 +413,10 @@ def draw_line_of_words(
                 text = word + cite
                 box = (min(box[0], sy0), box[1], max(box[2], sy1), float(sx1))
         boxes.append(WordBox(text, box))
-        x = box[3] + float(rng.uniform(0.28, 0.85)) * font_size
+        # Spacing reaches down to 0.18em: post-squeeze (width-capped lines
+        # resize under natural aspect) tight gaps are where the shipped
+        # weights dropped inter-word spaces ("apopulation", "ofbrown").
+        x = box[3] + float(rng.uniform(0.18, 0.85)) * font_size
     return boxes
 
 
@@ -474,16 +494,28 @@ def render_recognition_sample(
     # detector's own boundary noise.
     ex_scale = float(rng.uniform(1.0, 4.0))
     ey_scale = float(rng.uniform(0.8, 1.6))
+    # Edge-tight augmentation: real detector masks under-reach the first/last
+    # glyph of a line often enough that the shipped-weight failure mode on
+    # the reference goldens was dropped line-edge characters ("ossils",
+    # "ackage"). Train with near-zero outer margins so the recognizer reads
+    # a glyph flush against the crop edge.
+    tight_left = rng.random() < 0.25
+    tight_right = rng.random() < 0.25
     rects = []
-    for wb in kept:
+    for i, wb in enumerate(kept):
         t, l, b, r = wb.box
         e_x = 3.0 * ex_scale + float(rng.uniform(-1.5, 1.5))
         e_y = 3.0 * ey_scale + float(rng.uniform(-1.5, 1.5))
+        e_x_l = e_x_r = e_x
+        if tight_left and i == 0:
+            e_x_l = float(rng.uniform(-1.0, 1.0))
+        if tight_right and i == len(kept) - 1:
+            e_x_r = float(rng.uniform(-1.0, 1.0))
         jx = float(rng.uniform(-1.5, 1.5))
         jy = float(rng.uniform(-1.5, 1.5))
         rects.append(
             RotatedRect.from_rect(
-                Rect.from_tlbr(t - e_y + jy, l - e_x + jx, b + e_y + jy, r + e_x + jx)
+                Rect.from_tlbr(t - e_y + jy, l - e_x_l + jx, b + e_y + jy, r + e_x_r + jx)
             )
         )
 

@@ -116,13 +116,27 @@ def init_recognition_state(
     hidden: int = recognition_net.DEFAULT_HIDDEN,
     seed: int = 0,
     arch: str = "crnn",
+    init_params=None,
 ) -> TrainState:
     """Initialize recognition params + optimizer state with mesh shardings
-    applied (tensor-parallel over "model" for the wide matrices)."""
+    applied (tensor-parallel over "model" for the wide matrices).
+    ``init_params``: optional checkpoint pytree for warm-started
+    fine-tuning (must match the arch's tree structure)."""
     if arch == "crnn":
         params = recognition_net.init_params(jax.random.key(seed), n_classes, hidden)
     else:
         params = recognition_net.ARCHS[arch][0](jax.random.key(seed), n_classes)
+    if init_params is not None:
+        # Warm start (fine-tuning): adopt the checkpoint's leaves; the fresh
+        # init above fixes the tree structure so a mismatched checkpoint
+        # fails loudly here.
+        ref = jax.tree.structure(params)
+        given = jax.tree.structure(init_params)
+        if ref != given:
+            raise ValueError(
+                f"init_params tree mismatch: expected {ref}, got {given}"
+            )
+        params = jax.tree.map(lambda _, p: jnp.asarray(p), params, init_params)
     specs = _shard_leaf_specs_recognition(params)
     params = jax.tree.map(
         lambda p, s: jax.device_put(p, NamedSharding(mesh, s)), params, specs

@@ -112,9 +112,21 @@ def train_recognition(args) -> None:
     step_fn = make_recognition_train_step(mesh, optimizer, arch=args.arch)
     apply_fn = recognition_net.ARCHS[args.arch][1]
 
+    init_params = None
+    if args.init_from:
+        from ocrs_tpu.models.weights import load_params
+
+        init_params, init_meta = load_params(args.init_from)
+        print(f"warm start from {args.init_from} (meta {init_meta.get('arch')})", flush=True)
+
     with mesh:
         state = init_recognition_state(
-            mesh, optimizer, n_classes=n_classes, hidden=args.hidden, arch=args.arch
+            mesh,
+            optimizer,
+            n_classes=n_classes,
+            hidden=args.hidden,
+            arch=args.arch,
+            init_params=init_params,
         )
         # u8 batches: crops upload raw and normalize on device (the float32
         # [64,1,64,768] batch would cost ~0.3s/step over the 40MB/s relay).
@@ -239,6 +251,12 @@ def main() -> None:
     parser.add_argument("--val-every", type=int, default=2000)
     parser.add_argument("--data-seed", type=int, default=0)
     parser.add_argument("--cache", default=None, help="dataset cache .npz path")
+    parser.add_argument(
+        "--init-from",
+        default=None,
+        help="warm-start from an existing .npz checkpoint (fine-tuning; "
+        "arch/hidden must match)",
+    )
     parser.add_argument("-o", "--output", required=True)
     args = parser.parse_args()
     if args.model == "recognition":
