@@ -56,10 +56,10 @@ class OcrEngineParams:
     detector_params: TextDetectorParams = field(default_factory=TextDetectorParams)
     #: "host": exact scipy CC + rotating calipers. "device": on-device CCL +
     #: segmented rect fitting (page stays in HBM).
-    detection_postprocess: Literal["host", "device"] = "host"
+    detection_postprocess: Literal["host", "device", "multigrid"] = "multigrid"
     #: "page": threshold/CC on the page-resolution mask (reference behaviour).
     #: "model": post-process at model resolution and scale rects (fast path).
-    detection_postprocess_resolution: Literal["page", "model"] = "page"
+    detection_postprocess_resolution: Literal["page", "model"] = "model"
     #: Tiled detection: run the detector on overlapping native-resolution
     #: tiles instead of downscaling (keeps small text on 4K+ pages).
     detection_tiled: bool = False

@@ -227,13 +227,23 @@ def rects_from_mask_device(
     min_area: float,
     max_components: int = 1024,
     solidify: bool = True,
+    multigrid: bool = False,
 ) -> list[RotatedRect]:
     """Device CCL + dense rect fitting; only the small rect table is copied
     to host. Applies the reference's expand + min-area filtering
     (detection.rs:104-122). `solidify` closes stroke-shaped blobs before
     labelling (see label_components_device) — keep it on for real detector
-    masks."""
-    labels = label_components_device(mask, solidify=solidify)
+    masks. `multigrid` solves connectivity at half resolution (the
+    throughput pipeline's default): merges fragments within ~4-5px, which
+    measured BETTER word accuracy on real pages than the exact host
+    connectivity (glyph fragments like a detached 'F' stop splitting off
+    and being area-filtered away)."""
+    if multigrid:
+        from .connected_components import label_components_multigrid
+
+        labels = label_components_multigrid(mask, solidify=solidify)
+    else:
+        labels = label_components_device(mask, solidify=solidify)
     table = min_area_rects_device(labels, max_components=max_components)
     return rect_table_to_host(table, expand_dist, min_area)
 

@@ -153,6 +153,7 @@ class RecognitionDataset:
         seed: int = 0,
         cache_path: Optional[str | Path] = None,
         log_every: int = 0,
+        extra_caches: Optional[list[str | Path]] = None,
     ):
         self.width = width
         self.alphabet = alphabet
@@ -163,7 +164,21 @@ class RecognitionDataset:
             self._offsets = data["offsets"]
             self._widths = data["widths"]
             self._texts = list(data["texts"])
+            # Concatenate further pre-rendered caches (distribution mixing
+            # for fine-tuning: e.g. the original styled set + an
+            # edge-tight/confusable top-up).
+            for extra in extra_caches or []:
+                d = np.load(extra, allow_pickle=True)
+                base = self._flat.shape[0]
+                self._flat = np.concatenate([self._flat, d["flat"]])
+                self._offsets = np.concatenate(
+                    [self._offsets, d["offsets"][1:] + base]
+                )
+                self._widths = np.concatenate([self._widths, d["widths"]])
+                self._texts.extend(list(d["texts"]))
             return
+        if extra_caches:
+            raise ValueError("extra_caches requires an existing cache_path")
         rng = np.random.default_rng(seed)
         crops_u8: list[np.ndarray] = []
         texts: list[str] = []

@@ -35,7 +35,18 @@ def test_prepare_input_shape():
 def test_detect_words():
     n_words = 3
     image = gen_test_image(n_words)
-    engine = OcrEngine(OcrEngineParams(detection_model=FakeDetectionModel()))
+    # Reference-parity path: lib.rs's expected boxes assume the mask is
+    # upsampled to page resolution before post-processing, with a flat 3px
+    # page-coordinate expansion. The engine DEFAULT post-processes at model
+    # resolution with scale-proportional expansion (measured more accurate
+    # on real pages) — covered by test_detect_words_model_res_default below.
+    engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            detection_postprocess="host",
+            detection_postprocess_resolution="page",
+        )
+    )
     inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
     words = engine.detect_words(inp)
     assert len(words) == n_words
@@ -55,6 +66,33 @@ def test_detect_words():
         assert abs(got.left - want.left) <= 1, (got, want)
         assert abs(got.height - want.height) <= 1.5, (got, want)
         assert abs(got.width - want.width) <= 1.5, (got, want)
+
+
+def test_detect_words_model_res_default():
+    """The default (model-res) path finds the same words, with expansion
+    scaled by the page/model resize factor (here 2x horizontally: the fake
+    detector declares a 100x200 input for a 100x400... see gen_test_image)."""
+    n_words = 3
+    image = gen_test_image(n_words)
+    engine = OcrEngine(OcrEngineParams(detection_model=FakeDetectionModel()))
+    inp = engine.prepare_input(ImageSource.from_tensor(image, DimOrder.CHW))
+    words = engine.detect_words(inp)
+    assert len(words) == n_words
+    page_engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=FakeDetectionModel(),
+            detection_postprocess="host",
+            detection_postprocess_resolution="page",
+        )
+    )
+    page_words = page_engine.detect_words(inp)
+    # Same word set; centers agree within the resize quantization. Sizes may
+    # differ by the scale-proportional expansion.
+    got = sorted((w.bounding_rect() for w in words), key=lambda b: b.left)
+    ref = sorted((w.bounding_rect() for w in page_words), key=lambda b: b.left)
+    for g, r in zip(got, ref):
+        assert abs(g.center()[0] - r.center()[0]) <= 2.0, (g, r)
+        assert abs(g.center()[1] - r.center()[1]) <= 2.0, (g, r)
 
 
 def _run_recognition(engine: OcrEngine, image: np.ndarray) -> list:

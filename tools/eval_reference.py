@@ -45,7 +45,13 @@ def word_prf(pred: str, expected: str, casefold: bool = False):
     return p, r, f1
 
 
-def build_engine(detect: str | None, rec: str | None, beam: bool):
+def build_engine(
+    detect: str | None,
+    rec: str | None,
+    beam: bool,
+    postprocess: str | None = None,
+    post_res: str | None = None,
+):
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
     from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
     from ocrs_tpu.recognition import BeamSearch, Greedy
@@ -53,11 +59,17 @@ def build_engine(detect: str | None, rec: str | None, beam: bool):
     weights_dir = REPO / "weights"
     det = load_detection_model(detect or str(weights_dir / "text-detection.npz"))
     rec = load_recognition_model(rec or str(weights_dir / "text-recognition.npz"))
+    kwargs = {}
+    if postprocess is not None:
+        kwargs["detection_postprocess"] = postprocess
+    if post_res is not None:
+        kwargs["detection_postprocess_resolution"] = post_res
     return OcrEngine(
         OcrEngineParams(
             detection_model=det,
             recognition_model=rec,
             decode_method=BeamSearch(width=100) if beam else Greedy(),
+            **kwargs,
         )
     )
 
@@ -73,6 +85,37 @@ def run_image(engine, png_path: Path) -> str:
     return engine.get_text(inp)
 
 
+def build_pipeline(detect: str | None, rec: str | None):
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.weights import (
+        load_detection_model,
+        load_params,
+        load_recognition_model,
+    )
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    weights_dir = REPO / "weights"
+    rec_path = rec or str(weights_dir / "text-recognition.npz")
+    _, rec_meta = load_params(rec_path)
+    return PagePipeline(
+        load_detection_model(detect or str(weights_dir / "text-detection.npz")),
+        load_recognition_model(rec_path),
+        rec_meta.get("alphabet", DEFAULT_ALPHABET),
+    )
+
+
+def run_image_pipeline(pipeline, png_path: Path) -> str:
+    """Score the THROUGHPUT path (PagePipeline, multigrid CCL + pooled
+    recognition) on a golden, as a 1-page stack — catches accuracy drift
+    between the pooled pipeline and the single-image engine."""
+    import numpy as np
+    from PIL import Image
+
+    img = np.asarray(Image.open(png_path).convert("RGB"))
+    results = pipeline.process(img[None])
+    return results[0].text
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--detect", default=None, help="detection weights (.npz)")
@@ -82,16 +125,42 @@ def main(argv=None) -> int:
     ap.add_argument("--beam", action="store_true", help="beam decode (width 100)")
     ap.add_argument("--show", action="store_true", help="print predicted text")
     ap.add_argument("--min-f1", type=float, default=0.0)
+    ap.add_argument(
+        "--pipeline",
+        action="store_true",
+        help="score the multi-page throughput pipeline instead of the engine",
+    )
+    ap.add_argument(
+        "--postprocess",
+        default=None,
+        choices=["host", "device", "multigrid"],
+        help="engine detection postprocess override (engine default: "
+        "multigrid; 'host' + --post-res page = reference-exact)",
+    )
+    ap.add_argument(
+        "--post-res",
+        default=None,
+        choices=["page", "model"],
+        help="engine detection postprocess resolution override "
+        "(engine default: model)",
+    )
     args = ap.parse_args(argv)
 
-    engine = build_engine(args.detect, args.rec, args.beam)
+    if args.pipeline:
+        runner = build_pipeline(args.detect, args.rec)
+        run = lambda path: run_image_pipeline(runner, path)
+    else:
+        engine = build_engine(
+            args.detect, args.rec, args.beam, args.postprocess, args.post_res
+        )
+        run = lambda path: run_image(engine, path)
 
     data = Path(args.data)
     results = {}
     ok = True
     for name in args.images:
         expected = (data / f"{name}.expected.txt").read_text()
-        pred = run_image(engine, data / f"{name}.png")
+        pred = run(data / f"{name}.png")
         if args.show:
             print(f"--- {name} predicted ---\n{pred}\n---", file=sys.stderr)
         p, r, f1 = word_prf(pred, expected)

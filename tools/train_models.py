@@ -86,6 +86,7 @@ def train_recognition(args) -> None:
         seed=args.data_seed,
         cache_path=cache,
         log_every=5000,
+        extra_caches=args.extra_cache or None,
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} lines)", flush=True)
     #
@@ -251,6 +252,12 @@ def main() -> None:
     parser.add_argument("--val-every", type=int, default=2000)
     parser.add_argument("--data-seed", type=int, default=0)
     parser.add_argument("--cache", default=None, help="dataset cache .npz path")
+    parser.add_argument(
+        "--extra-cache",
+        action="append",
+        default=[],
+        help="additional pre-rendered cache(s) to concatenate (recognition)",
+    )
     parser.add_argument(
         "--init-from",
         default=None,
