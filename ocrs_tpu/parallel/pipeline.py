@@ -466,7 +466,16 @@ class PagePipeline:
         batches = []
         for width, group in groups.items():
             for i in range(0, len(group), self._max_lines):
-                batches.append((width, group[i : i + self._max_lines]))
+                chunk = group[i : i + self._max_lines]
+                # Trim the compute width to the batch's own max (rounded to
+                # 128 for shape reuse): the bucket law only groups lines, it
+                # doesn't need to set the padded width. 300-dpi pages need
+                # ~1792 of the 2432 cap -> ~25% less extract+forward work.
+                w_eff = min(
+                    width,
+                    max(-(-max(rl.resized_width for _, rl in chunk) // 128) * 128, 128),
+                )
+                batches.append((w_eff, chunk))
 
         greedy = isinstance(self._decode, Greedy)
         inflight = []

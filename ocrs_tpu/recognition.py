@@ -547,14 +547,22 @@ class TextRecognizer:
                 )
             )
 
-        # Bucket by padded width, then chunk into batches.
+        # Bucket by padded width, then chunk into batches. The compute width
+        # of each batch is trimmed to the batch's own max resized width
+        # (rounded to 128 for shape reuse): the bucket law groups lines; it
+        # doesn't need to set the padded width.
         groups: dict[int, list[_RecLine]] = {}
         for rl in rec_lines:
             groups.setdefault(self._bucket(rl.resized_width), []).append(rl)
         batches: list[tuple[int, list[_RecLine]]] = []
         for width, group in groups.items():
             for i in range(0, len(group), self._max_lines):
-                batches.append((width, group[i : i + self._max_lines]))
+                chunk = group[i : i + self._max_lines]
+                w_eff = min(
+                    width,
+                    max(-(-max(rl.resized_width for rl in chunk) // 128) * 128, 128),
+                )
+                batches.append((w_eff, chunk))
 
         alphabet_len = len(opts.alphabet)
         excluded = (
