@@ -11,9 +11,13 @@ or smoke-test the pipeline with random weights:
 """
 
 import sys
+from pathlib import Path
 
 import numpy as np
 from PIL import Image
+
+# Self-locating: runnable as `python examples/hello_ocr.py` from anywhere.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from ocrs_tpu.engine import OcrEngine, OcrEngineParams
 from ocrs_tpu.models.detection_net import DetectionModel

@@ -13,6 +13,10 @@ meaningful results.
 from __future__ import annotations
 
 import os
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 import sys
 from pathlib import Path
 
@@ -43,18 +47,32 @@ def main() -> int:
     from ocrs_tpu.models.weights import fetch_model, load_params
     from ocrs_tpu.preprocess import DimOrder, ImageSource
 
-    det_src = os.environ.get("OCRS_TPU_DETECT_MODEL")
-    rec_src = os.environ.get("OCRS_TPU_REC_MODEL")
+    weights_dir = _Path(__file__).resolve().parent.parent / "weights"
+    det_src = os.environ.get("OCRS_TPU_DETECT_MODEL") or (
+        str(weights_dir / "text-detection.npz")
+        if (weights_dir / "text-detection.npz").exists()
+        else None
+    )
+    rec_src = os.environ.get("OCRS_TPU_REC_MODEL") or (
+        str(weights_dir / "text-recognition.npz")
+        if (weights_dir / "text-recognition.npz").exists()
+        else None
+    )
+    alphabet = None
     if det_src and rec_src:
         from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
 
         det = load_detection_model(det_src)
         rec = load_recognition_model(rec_src)
+        _, rec_meta = load_params(rec_src)
+        alphabet = rec_meta.get("alphabet")
     else:
-        print("warning: no model env vars set; using random weights", file=sys.stderr)
+        print("warning: no weights found; using random weights", file=sys.stderr)
         det, rec = DetectionModel.create(0), RecognitionModel.create(0)
 
-    engine = OcrEngine(OcrEngineParams(detection_model=det, recognition_model=rec))
+    engine = OcrEngine(
+        OcrEngineParams(detection_model=det, recognition_model=rec, alphabet=alphabet)
+    )
 
     found = 0
     for image_path in iter_images(sys.argv[2:]):
