@@ -620,37 +620,42 @@ class PagePipeline:
     def process_stream(self, page_batches) -> "list[list[PageResult]]":
         """Run OCR over an iterable of page stacks as a software pipeline:
 
-        * group N+2's host->device upload is dispatched first (double
-          buffering hides transfer behind compute on slow transports);
-        * group N+1's DETECT program is dispatched (async) before group N's
-          host-side work, so the ~150ms of per-group host work (rect-table
-          readback, layout, batch prep, CTC collapse) hides behind the
-          device executing the next group's detection;
-        * group N then syncs its (already-computed) tables and finishes
-          layout + recognition.
+        * uploads run one group ahead (double buffering hides transfer
+          behind compute on slow transports);
+        * DETECT programs are dispatched up to TWO groups ahead of the
+          finisher, so when a group's recognition is dispatched the device
+          already has the next detect queued — it never idles while the
+          host does the ~150ms of per-group work (rect-table readback,
+          layout, batch prep, CTC collapse), even when device->host
+          readbacks serialize behind queued compute (relay transports);
+        * groups then finish in order (table sync, layout, recognition).
 
         Returns per-group results. The reference has no analog (single image
         at a time); this is the TPU-native replacement for its rayon
         thread-pool overlap (recognition.rs:464-467) at page granularity."""
-        results = []
-        staged = None  # uploaded, not yet detected
-        detected = None  # (pages_dev, tables, scale), detect dispatched
-        for batch in page_batches:
-            nxt = self._stage_pages(batch)  # async upload of group N+2
-            if staged is not None:
-                pending = (staged, *self._detect_tables(staged))  # async
-                if detected is not None:
-                    results.append(self._finish_group(*detected))
-                detected = pending
-            staged = nxt
-        if staged is not None:
-            pending = (staged, *self._detect_tables(staged))
-            if detected is not None:
-                results.append(self._finish_group(*detected))
-            detected = pending
-        if detected is not None:
-            results.append(self._finish_group(*detected))
-        return results
+        results: list[list[PageResult]] = []
+        staged: list[jax.Array] = []  # uploaded, detect not yet dispatched
+        detected: list[tuple] = []  # (pages_dev, tables, scale), in order
+        it = iter(page_batches)
+        exhausted = False
+
+        def pump():
+            while staged and len(detected) < 2:
+                pages = staged.pop(0)
+                detected.append((pages, *self._detect_tables(pages)))
+
+        while True:
+            if not exhausted:
+                try:
+                    staged.append(self._stage_pages(next(it)))
+                except StopIteration:
+                    exhausted = True
+            pump()
+            if detected and (exhausted or len(detected) >= 2):
+                results.append(self._finish_group(*detected.pop(0)))
+                pump()
+            if exhausted and not staged and not detected:
+                return results
 
     def _finish_group(self, pages_dev, tables, scale) -> list[PageResult]:
         """Host-side tail of one group: table readback, layout, recognition."""
