@@ -67,6 +67,35 @@ def collapse_greedy_batch(labels: np.ndarray) -> list[list[CtcStep]]:
     return [collapse_greedy(labels[i]) for i in range(labels.shape[0])]
 
 
+def collapse_greedy_batch_arrays(
+    labels: np.ndarray,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Like :func:`collapse_greedy_batch` but returns ``(pos, label)`` int32
+    array pairs per line instead of ``CtcStep`` objects. The throughput
+    pipeline uses this: building tens of thousands of step objects per page
+    group costs more host time than the whole native collapse."""
+    from .. import native
+
+    labels = np.asarray(labels)
+    nat = native.ctc_collapse_batch(labels)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [
+            (pos[i, : counts[i]], lab[i, : counts[i]])
+            for i in range(labels.shape[0])
+        ]
+    out = []
+    for i in range(labels.shape[0]):
+        steps = collapse_greedy(labels[i])
+        out.append(
+            (
+                np.array([s.pos for s in steps], dtype=np.int32),
+                np.array([s.label for s in steps], dtype=np.int32),
+            )
+        )
+    return out
+
+
 def collapse_greedy(labels: np.ndarray) -> list[CtcStep]:
     """Collapse repeats then drop blanks (standard CTC best-path).
 

@@ -36,7 +36,7 @@ from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
-from ..ops.ctc import beam_decode, collapse_greedy_batch, greedy_labels_u8
+from ..ops.ctc import beam_decode, collapse_greedy_batch_arrays, greedy_labels_u8
 from ..ops.rects import min_area_rects_device, pack_rect_table, unpack_rect_table
 from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch_packed, pad_chain
@@ -434,6 +434,13 @@ class PagePipeline:
     def _recognize_pooled(
         self, pages_dev: jax.Array, per_page_lines: list[list[list[RotatedRect]]]
     ) -> list[list[Optional[TextLine]]]:
+        return self._collect_recognition(
+            per_page_lines, self._dispatch_recognition(pages_dev, per_page_lines)
+        )
+
+    def _dispatch_recognition(
+        self, pages_dev: jax.Array, per_page_lines: list[list[list[RotatedRect]]]
+    ):
         # Build pooled line records tagged (page, line_index): polygons and
         # union rects for ALL lines in the group come from one vectorized
         # pass (line_polygons_batch) instead of ~25 numpy calls per line.
@@ -488,13 +495,21 @@ class PagePipeline:
             except AttributeError:
                 pass
             inflight.append((group_width, batch, out))
+        return inflight
 
+    def _collect_recognition(
+        self, per_page_lines, inflight
+    ) -> list[list[Optional[TextLine]]]:
+        greedy = isinstance(self._decode, Greedy)
         per_page_results: list[list[_LineResult]] = [[] for _ in per_page_lines]
         for group_width, batch, out_dev in inflight:
             host = np.asarray(out_dev)
             ctc_input_len = host.shape[1]
             if greedy:
-                decoded = collapse_greedy_batch(host)
+                # Array-pair steps: no per-step object construction (tens of
+                # thousands of CtcStep objects per group measured slower than
+                # the native collapse itself).
+                decoded = collapse_greedy_batch_arrays(host)
             else:
                 decoded = [
                     beam_decode(host[i], self._decode.width)
@@ -622,13 +637,19 @@ class PagePipeline:
 
         * uploads run one group ahead (double buffering hides transfer
           behind compute on slow transports);
-        * DETECT programs are dispatched up to TWO groups ahead of the
-          finisher, so when a group's recognition is dispatched the device
-          already has the next detect queued — it never idles while the
-          host does the ~150ms of per-group work (rect-table readback,
-          layout, batch prep, CTC collapse), even when device->host
-          readbacks serialize behind queued compute (relay transports);
-        * groups then finish in order (table sync, layout, recognition).
+        * DETECT programs are dispatched up to TWO groups ahead, with the
+          rect table's device->host copy started asynchronously, so the
+          device never idles while the host does per-group work;
+        * each group's host tail is SPLIT: dispatch (table sync, layout,
+          recognition program dispatch with async label copies) and collect
+          (CTC collapse + line assembly) are separate phases, and group N
+          is collected only after group N+1 has dispatched. Group N's
+          recognition programs queue behind group N+1's detect on the
+          device, so a synchronous collect right after dispatch would stall
+          the host for the whole detect+recognize queue; deferring the
+          collect by one group lets that queue drain while the host does
+          group N+1's layout/prep, leaving steady-state wall time at
+          max(device ms/group, host ms/group) instead of their sum.
 
         Returns per-group results. The reference has no analog (single image
         at a time); this is the TPU-native replacement for its rayon
@@ -636,13 +657,19 @@ class PagePipeline:
         results: list[list[PageResult]] = []
         staged: list[jax.Array] = []  # uploaded, detect not yet dispatched
         detected: list[tuple] = []  # (pages_dev, tables, scale), in order
+        dispatched: list[tuple] = []  # (words, lines, inflight), in order
         it = iter(page_batches)
         exhausted = False
 
         def pump():
             while staged and len(detected) < 2:
                 pages = staged.pop(0)
-                detected.append((pages, *self._detect_tables(pages)))
+                pages, tables, scale = (pages, *self._detect_tables(pages))
+                try:
+                    tables.copy_to_host_async()
+                except AttributeError:
+                    pass
+                detected.append((pages, tables, scale))
 
         while True:
             if not exhausted:
@@ -652,20 +679,35 @@ class PagePipeline:
                     exhausted = True
             pump()
             if detected and (exhausted or len(detected) >= 2):
-                results.append(self._finish_group(*detected.pop(0)))
+                dispatched.append(self._dispatch_group(*detected.pop(0)))
                 pump()
-            if exhausted and not staged and not detected:
+            while dispatched and (
+                len(dispatched) > 1 or (exhausted and not staged and not detected)
+            ):
+                results.append(self._collect_group(dispatched.pop(0)))
+            if exhausted and not staged and not detected and not dispatched:
                 return results
 
-    def _finish_group(self, pages_dev, tables, scale) -> list[PageResult]:
-        """Host-side tail of one group: table readback, layout, recognition."""
+    def _dispatch_group(self, pages_dev, tables, scale) -> tuple:
+        """Host-side head of one group's tail: table readback, layout, and
+        recognition dispatch (device programs queued, label copies async)."""
         per_page_words = self._tables_to_words(tables, scale)
         per_page_lines = [find_text_lines(words) for words in per_page_words]
-        per_page_text = self._recognize_pooled(pages_dev, per_page_lines)
+        inflight = self._dispatch_recognition(pages_dev, per_page_lines)
+        return per_page_words, per_page_lines, inflight
+
+    def _collect_group(self, group: tuple) -> list[PageResult]:
+        """Collect a dispatched group: CTC collapse + line assembly."""
+        per_page_words, per_page_lines, inflight = group
+        per_page_text = self._collect_recognition(per_page_lines, inflight)
         return [
             PageResult(words=w, lines=l, text_lines=t)
             for w, l, t in zip(per_page_words, per_page_lines, per_page_text)
         ]
+
+    def _finish_group(self, pages_dev, tables, scale) -> list[PageResult]:
+        """Host-side tail of one group: table readback, layout, recognition."""
+        return self._collect_group(self._dispatch_group(pages_dev, tables, scale))
 
     def process_normalized(self, pages_dev: jax.Array) -> list[PageResult]:
         """Run OCR on pages already normalized and resident in HBM

@@ -678,10 +678,22 @@ def _text_lines_from_results(results: list[_LineResult], alphabet: str):
         downsample = round(result.rec_input_len / result.ctc_input_len)
 
         steps = result.steps
-        if not steps:
+        # Steps arrive either as CtcStep objects (engine path) or as a
+        # (pos, label) int32 array pair (pipeline path, see
+        # ops.ctc.collapse_greedy_batch_arrays).
+        as_arrays = isinstance(steps, tuple)
+        if as_arrays:
+            pos_arr, label_arr = steps
+            if pos_arr.size == 0:
+                out.append(None)
+                continue
+            pos = pos_arr.astype(np.float64) * downsample
+        elif not steps:
             out.append(None)
             continue
-        pos = np.array([s.pos for s in steps], dtype=np.float64) * downsample
+        else:
+            label_arr = None
+            pos = np.array([s.pos for s in steps], dtype=np.float64) * downsample
         end = np.concatenate([pos[1:], [float(result.line.resized_width)]])
         # nb. the reference truncates (x * scale) BEFORE adding the (integer)
         # rect left (recognition.rs:264-265) — matters for negative lefts.
@@ -694,11 +706,15 @@ def _text_lines_from_results(results: list[_LineResult], alphabet: str):
         rects = polygon_slice_bounding_rects(result.line.poly, ranges)
 
         chars: list[TextChar] = []
-        kept = [s for s, ok in zip(steps, in_bounds) if ok]
-        for step, rect in zip(kept, rects):
+        if as_arrays:
+            kept_labels = label_arr[in_bounds].tolist()
+        else:
+            kept_labels = [s.label for s, ok in zip(steps, in_bounds) if ok]
+        n_alpha = len(alphabet)
+        for label, rect in zip(kept_labels, rects):
             assert rect is not None, "invalid X coords"
-            label_idx = step.label - 1
-            ch = alphabet[label_idx] if 0 <= label_idx < len(alphabet) else "?"
+            label_idx = label - 1
+            ch = alphabet[label_idx] if 0 <= label_idx < n_alpha else "?"
             chars.append(TextChar(char=ch, rect=rect))
 
         out.append(TextLine(chars) if chars else None)
