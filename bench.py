@@ -91,6 +91,48 @@ class OracleBlendDetectionModel:
 
 PAGE_BATCH = 16
 N_BATCHES = 3
+# Compute-only passes use more batches (no upload cost) so pipeline fill/
+# drain amortizes, and the metric is the MEDIAN of several passes so one
+# relay hiccup cannot halve the recorded number (VERDICT r02).
+N_BATCHES_COMPUTE = 6
+N_COMPUTE_PASSES = 3
+
+
+def transport_probe() -> dict:
+    """Measure the host<->device link right now: h2d and d2h MB/s plus the
+    round-trip latency of a tiny readback. The e2e metric is hostage to this
+    transport (a ~40MB/s relay tunnel in this environment, vs PCIe on real
+    TPU hosts); recording the day's link speed next to the result makes the
+    e2e number interpretable across runs."""
+    lat = []
+    tiny = jnp.zeros((1,), jnp.float32) + 1.0
+    float(tiny[0])
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float((tiny + 1.0)[0])
+        lat.append(time.perf_counter() - t0)
+    buf = np.random.default_rng(0).integers(0, 255, (32 << 20,), np.uint8)
+    fence = jax.jit(lambda x: x[::997].astype(jnp.float32).sum())
+    float(fence(jax.device_put(buf[: 1 << 20])))  # warm fence + transfer path
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    float(fence(dev))
+    h2d = buf.nbytes / (time.perf_counter() - t0)
+    # d2h on freshly-computed arrays (a re-read of the same array can be
+    # served from a host-side cache on relayed transports).
+    mk = jax.jit(lambda x, s: x[: 4 << 20] + s)
+    np.asarray(mk(dev, np.uint8(1)))  # warm
+    a2 = mk(dev, np.uint8(2))
+    float(fence(a2))  # ensure computed before timing the copy
+    t0 = time.perf_counter()
+    np.asarray(a2)
+    d2h = a2.nbytes / (time.perf_counter() - t0)
+    del dev
+    return {
+        "h2d_MBps": round(h2d / 1e6, 1),
+        "d2h_MBps": round(d2h / 1e6, 1),
+        "roundtrip_ms": round(min(lat) * 1000, 1),
+    }
 
 
 def bench_screenshot_latency() -> dict:
@@ -381,32 +423,37 @@ def main() -> None:
         max_lines_per_batch=128,
     )
 
-    # Warmup (compilation)
+    # Warmup (compilation of every program shape the stream will hit).
     results = pipeline.process(pages)
     n_lines_out = len(results[0].text.splitlines())
+
+    probe = transport_probe()
+
+    # Compute-only throughput with pages pre-staged in HBM: the primary
+    # optimization metric. In this environment the host<->device link is a
+    # slow relay tunnel (see probe), which caps e2e regardless of compute;
+    # production TPU hosts have PCIe and see the compute number. Median of
+    # N_COMPUTE_PASSES passes, each N_BATCHES_COMPUTE groups, warmed first.
+    from ocrs_tpu.parallel.pipeline import _normalize_batch
+
+    pages_dev = _normalize_batch(jnp.asarray(pages[..., None]), True)
+    pipeline.process_stream([pages_dev] * 2)  # warm incl. stream structure
+    compute_passes = []
+    for _ in range(N_COMPUTE_PASSES):
+        t0 = time.perf_counter()
+        pipeline.process_stream([pages_dev] * N_BATCHES_COMPUTE)
+        dt = time.perf_counter() - t0
+        compute_passes.append(N_BATCHES_COMPUTE * PAGE_BATCH / dt)
+    compute_passes.sort()
+    compute_pps = compute_passes[len(compute_passes) // 2]
 
     # E2E with upload/compute overlap: group N+1's host->device copy is
     # dispatched before group N synchronizes (PagePipeline.process_stream).
     t0 = time.perf_counter()
     pipeline.process_stream([pages] * N_BATCHES)
     elapsed = time.perf_counter() - t0
-
     total_pages = N_BATCHES * PAGE_BATCH
     pages_per_sec = total_pages / elapsed
-
-    # Secondary metric: compute-only throughput with pages pre-staged in HBM.
-    # In this environment the host<->device link is a ~40MB/s relay tunnel,
-    # which caps e2e at ~4.7 pages/s for 8.7MB 300-dpi pages regardless of
-    # compute; production TPU hosts have PCIe and see the compute number.
-    from ocrs_tpu.parallel.pipeline import _normalize_batch
-
-    pages_dev = _normalize_batch(jnp.asarray(pages[..., None]), True)
-    pipeline.process_normalized(pages_dev)  # warm
-    # Software-pipelined: group N's host-side work (table readback, layout,
-    # decode) hides behind the device running group N+1's detect.
-    t0 = time.perf_counter()
-    pipeline.process_stream([pages_dev] * N_BATCHES)
-    compute_pps = total_pages / (time.perf_counter() - t0)
 
     breakdown = stage_breakdown(pipeline, pages)
 
@@ -416,13 +463,19 @@ def main() -> None:
         "unit": "pages/s",
         "vs_baseline": round(pages_per_sec / TARGET_PAGES_PER_SEC, 3),
         "compute_pages_per_sec": round(compute_pps, 3),
+        "compute_passes": [round(p, 2) for p in compute_passes],
+        "transport_probe": probe,
         "stage_ms_per_group": breakdown,
-        "note": "e2e overlaps uploads with compute; bounded by ~40MB/s relay in this env",
+        "note": (
+            "e2e includes page upload over the link in transport_probe; "
+            "compute_pages_per_sec is median of pre-staged passes"
+        ),
     }
     print(json.dumps(result))
     print(
         f"# {total_pages} pages ({N_BATCHES} batches of {PAGE_BATCH}) in "
-        f"{elapsed:.2f}s e2e; compute-only {compute_pps:.2f} pages/s; "
+        f"{elapsed:.2f}s e2e; compute-only {compute_pps:.2f} pages/s "
+        f"(passes {[round(p, 1) for p in compute_passes]}); "
         f"{n_lines_out} lines/page decoded; "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,

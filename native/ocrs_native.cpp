@@ -13,7 +13,10 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <functional>
+#include <limits>
 #include <queue>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -211,6 +214,237 @@ int oc_group_lines(const double* feat, int n, const double* seps, int S,
     line_id++;
   }
   return line_id;
+}
+
+// Run-table connected components + exact min-area rects.
+//
+// The device reduces each page's detection mask to two row-run tables (see
+// ocrs_tpu/ops/rects.py:runs_tables): ORIG runs of the raw thresholded mask
+// (full resolution — these carry the exact pixel extents) and CONN runs of
+// the connectivity mask (3x3-closed and optionally 2x2-pooled). This kernel
+// replaces the on-device union-find + dense angle-scan rect fit
+// (detection.rs:41-62 territory): union-find over conn runs (8-connected),
+// map orig runs into conn runs by containment, then fit each component's
+// min-area rect with convex hull + rotating calipers — exact, unlike the
+// device angle scan's ~0.9 deg resolution. At ~800 runs/page this is
+// microseconds of host work per page.
+//
+// runs: int16 [B, 6, K]; channels 0-2 = orig (row, xs, xe), 3-5 = conn
+//   (row, xs, xe); entries with row < 0 are padding. Both tables are in
+//   raster order (ascending row, then xs). Conn coordinates are at full
+//   resolution divided by `pool` (1 or 2).
+// out: double [B, 9, C]: valid, count, dropped, cx, cy, ux, uy, w, h
+//   (the PACK_FIELDS layout of ocrs_tpu.ops.rects). `dropped` counts
+//   components beyond max_components plus orig runs that failed to map.
+void oc_runs_to_rects(const int16_t* runs, int B, int K, int pool,
+                      int max_components, double* out) {
+  const int C = max_components;
+  std::vector<int> parent, row_begin, comp_of_root, order;
+  std::vector<double> pts;
+  for (int b = 0; b < B; b++) {
+    const int16_t* tb = runs + (size_t)b * 6 * K;
+    const int16_t* o_row = tb + 0 * K;
+    const int16_t* o_xs = tb + 1 * K;
+    const int16_t* o_xe = tb + 2 * K;
+    const int16_t* c_row = tb + 3 * K;
+    const int16_t* c_xs = tb + 4 * K;
+    const int16_t* c_xe = tb + 5 * K;
+    int n_conn = 0;
+    while (n_conn < K && c_row[n_conn] >= 0) n_conn++;
+    int n_orig = 0;
+    while (n_orig < K && o_row[n_orig] >= 0) n_orig++;
+
+    // Union-find over conn runs.
+    parent.assign(n_conn, 0);
+    for (int i = 0; i < n_conn; i++) parent[i] = i;
+    std::function<int(int)> find = [&](int x) {
+      while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+      }
+      return x;
+    };
+    auto unite = [&](int a, int bb) {
+      a = find(a);
+      bb = find(bb);
+      if (a != bb) parent[std::max(a, bb)] = std::min(a, bb);
+    };
+    // 8-connectivity between a run and the previous row's runs: x-intervals
+    // dilated by 1 overlap. Two-pointer over the (raster-sorted) table.
+    int max_row = n_conn ? c_row[n_conn - 1] : -1;
+    row_begin.assign(max_row + 2, n_conn);
+    for (int i = n_conn - 1; i >= 0; i--) row_begin[c_row[i]] = i;
+    for (int r = max_row; r >= 1; r--)
+      if (row_begin[r] == n_conn) row_begin[r] = row_begin[r + 1];
+    for (int i = 0; i < n_conn; i++) {
+      int r = c_row[i];
+      if (r == 0) continue;
+      int j = row_begin[r - 1];
+      int jend = row_begin[r];
+      for (; j < jend && c_row[j] == r - 1; j++) {
+        if (c_xe[j] + 1 < c_xs[i] - 1) continue;
+        if (c_xs[j] - 1 > c_xe[i] + 1) break;
+        unite(i, j);
+      }
+    }
+
+    // Map each orig run to its conn component (containment after /pool).
+    // Components are numbered by first appearance in orig raster order.
+    comp_of_root.assign(n_conn, -1);
+    order.clear();  // root conn-run id per component
+    std::vector<int> comp_of_orig(n_orig, -1);
+    int dropped_runs = 0;
+    for (int i = 0; i < n_orig; i++) {
+      int r = o_row[i] / pool;
+      int x = o_xs[i] / pool;
+      if (r > max_row) {
+        dropped_runs++;
+        continue;
+      }
+      int lo = row_begin[r];
+      int hi = (r + 1 <= max_row + 1) ? row_begin[r + 1] : n_conn;
+      // Binary search for the conn run with xs <= x <= xe in row r.
+      int found = -1;
+      while (lo < hi) {
+        int mid = (lo + hi) / 2;
+        if (c_row[mid] != r || c_xs[mid] > x)
+          hi = mid;
+        else if (c_xe[mid] < x)
+          lo = mid + 1;
+        else {
+          found = mid;
+          break;
+        }
+      }
+      if (found < 0) {
+        dropped_runs++;  // conn table overflow lost this run's cover
+        continue;
+      }
+      int root = find(found);
+      if (comp_of_root[root] < 0) {
+        comp_of_root[root] = (int)order.size();
+        order.push_back(root);
+      }
+      comp_of_orig[i] = comp_of_root[root];
+    }
+
+    int n_comp = (int)order.size();
+    int n_keep = std::min(n_comp, C);
+    // Gather each kept component's run-endpoint points.
+    std::vector<std::vector<double>> comp_pts(n_keep);
+    std::vector<int> comp_count(n_keep, 0);
+    for (int i = 0; i < n_orig; i++) {
+      int c = comp_of_orig[i];
+      if (c < 0 || c >= n_keep) continue;
+      auto& v = comp_pts[c];
+      v.push_back((double)o_xs[i]);
+      v.push_back((double)o_row[i]);
+      v.push_back((double)o_xe[i]);
+      v.push_back((double)o_row[i]);
+      comp_count[c] += 2;
+    }
+
+    double* ob = out + (size_t)b * 9 * C;
+    for (int f = 0; f < 9; f++)
+      for (int c = 0; c < C; c++) ob[f * C + c] = 0.0;
+    double dropped = (double)(n_comp - n_keep + dropped_runs);
+    for (int c = 0; c < C; c++) ob[2 * C + c] = dropped;
+
+    for (int c = 0; c < n_keep; c++) {
+      const auto& v = comp_pts[c];
+      int np = (int)v.size() / 2;
+      if (np == 0) continue;
+      // Convex hull (monotone chain) over unique points.
+      pts = v;
+      std::vector<std::pair<double, double>> P(np);
+      for (int i = 0; i < np; i++) P[i] = {pts[2 * i], pts[2 * i + 1]};
+      std::sort(P.begin(), P.end());
+      P.erase(std::unique(P.begin(), P.end()), P.end());
+      int m = (int)P.size();
+      double cx, cy, ux, uy, w, h;
+      if (m == 1) {
+        cx = P[0].first;
+        cy = P[0].second;
+        ux = 0.0;
+        uy = -1.0;
+        w = h = 0.0;
+      } else if (m == 2) {
+        double dx = P[1].first - P[0].first, dy = P[1].second - P[0].second;
+        double n = std::hypot(dx, dy);
+        cx = (P[0].first + P[1].first) / 2.0;
+        cy = (P[0].second + P[1].second) / 2.0;
+        // up = rot90(dir) = (-dy, dx)/n; width along dir, height 0.
+        ux = -dy / n;
+        uy = dx / n;
+        w = n;
+        h = 0.0;
+      } else {
+        std::vector<std::pair<double, double>> hull;
+        hull.reserve(2 * m);
+        auto cross_ok = [&](const std::pair<double, double>& o,
+                            const std::pair<double, double>& a,
+                            const std::pair<double, double>& p) {
+          return (a.first - o.first) * (p.second - o.second) -
+                     (a.second - o.second) * (p.first - o.first) <=
+                 0;
+        };
+        for (int pass = 0; pass < 2; pass++) {
+          size_t start = hull.size();
+          for (int ii = 0; ii < m; ii++) {
+            const auto& p = pass == 0 ? P[ii] : P[m - 1 - ii];
+            while (hull.size() >= start + 2 &&
+                   cross_ok(hull[hull.size() - 2], hull.back(), p))
+              hull.pop_back();
+            hull.push_back(p);
+          }
+          hull.pop_back();
+        }
+        int nh = (int)hull.size();
+        double best_area = std::numeric_limits<double>::infinity();
+        cx = cy = w = h = 0.0;
+        ux = 0.0;
+        uy = -1.0;
+        for (int i = 0; i < nh; i++) {
+          double ex = hull[(i + 1) % nh].first - hull[i].first;
+          double ey = hull[(i + 1) % nh].second - hull[i].second;
+          double n = std::hypot(ex, ey);
+          if (n == 0) continue;
+          ex /= n;
+          ey /= n;
+          // perpendicular = rot90(e) = (-ey, ex)
+          double px = -ey, py = ex;
+          double mn_x = 1e300, mx_x = -1e300, mn_y = 1e300, mx_y = -1e300;
+          for (const auto& q : hull) {
+            double a = q.first * ex + q.second * ey;
+            double bq = q.first * px + q.second * py;
+            mn_x = std::min(mn_x, a);
+            mx_x = std::max(mx_x, a);
+            mn_y = std::min(mn_y, bq);
+            mx_y = std::max(mx_y, bq);
+          }
+          double ww = mx_x - mn_x, hh = mx_y - mn_y;
+          if (ww * hh < best_area) {
+            best_area = ww * hh;
+            double ccx = (mx_x + mn_x) / 2.0, ccy = (mx_y + mn_y) / 2.0;
+            cx = ccx * ex + ccy * px;
+            cy = ccx * ey + ccy * py;
+            ux = px;
+            uy = py;
+            w = ww;
+            h = hh;
+          }
+        }
+      }
+      ob[0 * C + c] = 1.0;                       // valid
+      ob[1 * C + c] = (double)comp_count[c];     // count
+      ob[3 * C + c] = cx;
+      ob[4 * C + c] = cy;
+      ob[5 * C + c] = ux;
+      ob[6 * C + c] = uy;
+      ob[7 * C + c] = w;
+      ob[8 * C + c] = h;
+    }
+  }
 }
 
 // Batch CTC greedy collapse: remove repeats then blanks (label 0).

@@ -31,6 +31,7 @@ _tried = False
 
 _F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_I16 = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
 
 
 def _src_digest() -> str:
@@ -104,6 +105,15 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32,
             _I32,
         ]
+        lib.oc_runs_to_rects.restype = None
+        lib.oc_runs_to_rects.argtypes = [
+            _I16,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _F64,
+        ]
         lib.oc_ctc_collapse.restype = None
         lib.oc_ctc_collapse.argtypes = [
             _I32,
@@ -174,6 +184,23 @@ def group_lines(
         out_rank,
     )
     return out_line, out_rank, n_lines
+
+
+def runs_to_rects(
+    runs: np.ndarray, pool: int, max_components: int
+) -> Optional[np.ndarray]:
+    """C++ run-table CCL + exact min-area rects (see oc_runs_to_rects).
+    `runs`: int16 [B, 6, K]. Returns float64 [B, 9, max_components] in
+    PACK_FIELDS order, or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    runs = np.ascontiguousarray(runs, dtype=np.int16)
+    b, ch, k = runs.shape
+    assert ch == 6
+    out = np.empty((b, 9, max_components), dtype=np.float64)
+    lib.oc_runs_to_rects(runs, b, k, int(pool), int(max_components), out)
+    return out
 
 
 def ctc_collapse_batch(labels: np.ndarray) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:

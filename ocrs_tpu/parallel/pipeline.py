@@ -37,7 +37,13 @@ from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
 from ..ops.ctc import beam_decode, collapse_greedy_batch_arrays, greedy_labels_u8
-from ..ops.rects import min_area_rects_device, pack_rect_table, unpack_rect_table
+from ..ops.rects import (
+    min_area_rects_device,
+    pack_rect_table,
+    runs_tables,
+    runs_to_rect_table_host,
+    unpack_rect_table,
+)
 from ..ops.resize import resize_bilinear
 from ..ops.warp import extract_line_batch_packed, pad_chain
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
@@ -143,6 +149,37 @@ def _masks_to_tables(
     return pack_rect_table(tables)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("crop_hw", "threshold", "multigrid", "solidify", "max_runs"),
+)
+def _masks_to_run_tables(
+    probs: jax.Array,
+    *,
+    crop_hw,
+    threshold,
+    multigrid=True,
+    solidify=True,
+    max_runs=4096,
+):
+    """[B, 1, mh, mw] probabilities -> packed int16 run tables [B, 7, K].
+
+    The run-table geometry path: instead of labelling + fitting rects on
+    device (~180ms/16-page group of iterative propagation, argsorts and
+    angle scans), the device reduces each mask to its row runs (~30ms of
+    top_k compactions) and the host does union-find + exact hull/calipers
+    over ~800 runs/page in C++ (microseconds). See ops.rects.runs_tables."""
+    masks = probs[:, 0, : crop_hw[0], : crop_hw[1]] > threshold
+    return jax.vmap(
+        partial(
+            runs_tables,
+            pool=2 if multigrid else 1,
+            solidify=solidify,
+            max_runs=max_runs,
+        )
+    )(masks)
+
+
 @partial(jax.jit, static_argnames=("input_hw", "offsets"))
 def _extract_tiles_batch(pages: jax.Array, *, input_hw, offsets) -> jax.Array:
     """[B, H, W] pages -> [B*T, 1, th, tw] overlapping tiles (T per page)."""
@@ -234,6 +271,7 @@ class PagePipeline:
         allowed_chars: Optional[str] = None,
         tiled_detection: bool = False,
         tile_overlap: int = 64,
+        run_table_geometry: bool = True,
         debug: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis. When given,
@@ -275,6 +313,12 @@ class PagePipeline:
         self._decode = decode_method if decode_method is not None else Greedy()
         self._tiled = tiled_detection
         self._tile_overlap = tile_overlap
+        # Run-table geometry (see _masks_to_run_tables): connectivity and
+        # extents semantics match the device CCL path (same solidify/pool
+        # rules, orig-mask extents), but the rect fit is EXACT calipers
+        # instead of the 0.9-deg angle scan. Not used for tiled detection
+        # (page-res run tables need scaled caps; the device path covers it).
+        self._run_tables = run_table_geometry
         self._debug = debug
         # Fused detect program cache: None = untried, False = model's run()
         # not traceable (dispatch stage-at-a-time), else the jitted callable.
@@ -310,6 +354,14 @@ class PagePipeline:
                 pages, input_hw=self._det_hw, pads=(pad_bottom, pad_right)
             )
             probs = self._det.run(x)
+            if self._run_tables:
+                return _masks_to_run_tables(
+                    probs,
+                    crop_hw=(crop_h, crop_w),
+                    threshold=self._params.text_threshold,
+                    multigrid=self._multigrid,
+                    solidify=self._solidify,
+                )
             return _masks_to_tables(
                 probs,
                 crop_hw=(crop_h, crop_w),
@@ -370,9 +422,15 @@ class PagePipeline:
     def _tables_to_words(self, tables, scale) -> list[list[RotatedRect]]:
         sx, sy = scale
         # ONE device->host readback: tables arrive as a packed [B, 9, C]
-        # array (see _masks_to_tables), so the relay round-trip latency is
-        # paid once, not once per field.
-        t = unpack_rect_table(jax.device_get(tables))
+        # rect table OR a packed [B, 7, K] int16 run table, so the relay
+        # round-trip latency is paid once, not once per field.
+        raw = np.asarray(jax.device_get(tables))
+        if raw.dtype == np.int16:
+            t = runs_to_rect_table_host(
+                raw, 2 if self._multigrid else 1, self._max_components
+            )
+        else:
+            t = unpack_rect_table(raw)
         dropped = int(np.asarray(t["dropped"]).sum())
         if dropped > 0:
             from ..utils.log import warn

@@ -335,3 +335,152 @@ def test_rungraph_matches_sweep_label_values():
     a = np.asarray(label_components_device(jnp.asarray(mask)))
     b = np.asarray(label_components_rungraph(jnp.asarray(mask)))
     assert (a == b).all()
+
+
+# ---------------------------------------------------------------------------
+# run-table geometry (device run extraction + host CCL/calipers)
+# ---------------------------------------------------------------------------
+
+
+def _run_table_rects(mask, *, pool, solidify, max_components=64):
+    from ocrs_tpu.ops.rects import runs_tables, runs_to_rect_table_host
+
+    t = np.asarray(
+        runs_tables(jnp.asarray(mask), pool=pool, solidify=solidify)
+    )[None]
+    return runs_to_rect_table_host(t, pool, max_components)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_run_table_rects_match_host_exact(seed):
+    """pool=1/solidify=False run-table path must EXACTLY reproduce the host
+    oracle: scipy 8-conn components + geometry.min_area_rect over run
+    endpoints (the C++ hull/calipers mirrors geometry.min_area_rect)."""
+    from ocrs_tpu.geometry import min_area_rect
+    from ocrs_tpu.ops.connected_components import label_components_host
+
+    mask = _random_blob_mask(seed, hw=(80, 120), n_blobs=8)
+    table = _run_table_rects(mask, pool=1, solidify=False)
+    got = []
+    for i in np.nonzero(table["valid"][0])[0]:
+        got.append(
+            (
+                table["cx"][0][i],
+                table["cy"][0][i],
+                table["ux"][0][i],
+                table["uy"][0][i],
+                table["w"][0][i],
+                table["h"][0][i],
+            )
+        )
+
+    labels, count = label_components_host(mask)
+    want = []
+    for c in range(1, count + 1):
+        pts = []
+        comp = labels == c
+        for y in range(comp.shape[0]):
+            xs = np.nonzero(comp[y])[0]
+            if xs.size == 0:
+                continue
+            splits = np.nonzero(np.diff(xs) > 1)[0]
+            for seg in np.split(xs, splits + 1):
+                pts.append((seg[0], y))
+                pts.append((seg[-1], y))
+        r = min_area_rect(np.array(pts, dtype=np.float64))
+        want.append(
+            (r.center[0], r.center[1], r.up[0], r.up[1], r.width, r.height)
+        )
+    assert len(got) == len(want)
+    got.sort()
+    want.sort()
+    np.testing.assert_allclose(np.array(got), np.array(want), atol=1e-9)
+
+
+@pytest.mark.parametrize("solidify", [False, True])
+def test_run_table_connectivity_matches_multigrid(solidify):
+    """pool=2 run-table components must partition words exactly like
+    label_components_multigrid (same close + 2x2-pool connectivity)."""
+    from ocrs_tpu.ops.connected_components import (
+        compact_labels_host,
+        label_components_multigrid,
+    )
+
+    mask = _random_blob_mask(7, hw=(96, 128), n_blobs=10)
+    table = _run_table_rects(mask, pool=2, solidify=solidify)
+    n_run = int(table["valid"][0].sum())
+    mg = np.asarray(label_components_multigrid(jnp.asarray(mask), solidify=solidify))
+    _, n_mg = compact_labels_host(mg)
+    assert n_run == n_mg
+    assert int(table["dropped"][0]) == 0
+
+
+def test_run_table_rects_rotated_blob_exact_calipers():
+    """The run-table fit is exact calipers: on a rasterized rotated rect it
+    must match the host path at least as tightly as the device angle scan."""
+    from ocrs_tpu.detection import rects_from_mask_host
+
+    mask = np.zeros((120, 160), dtype=bool)
+    yy, xx = np.mgrid[0:120, 0:160]
+    theta = np.deg2rad(20)
+    u = (xx - 80) * np.cos(theta) + (yy - 60) * np.sin(theta)
+    v = -(xx - 80) * np.sin(theta) + (yy - 60) * np.cos(theta)
+    mask[(np.abs(u) < 40) & (np.abs(v) < 10)] = True
+
+    table = _run_table_rects(mask, pool=1, solidify=False)
+    host = rects_from_mask_host(mask, 0.0, 0.0)
+    assert len(host) == 1 and int(table["valid"][0].sum()) == 1
+    i = int(np.nonzero(table["valid"][0])[0][0])
+    h = host[0]
+    assert np.allclose(
+        sorted([float(table["w"][0][i]), float(table["h"][0][i])]),
+        sorted([h.width, h.height]),
+        atol=1e-6,
+    )
+    assert np.allclose(
+        [float(table["cx"][0][i]), float(table["cy"][0][i])], h.center, atol=1e-6
+    )
+
+
+def test_run_table_numpy_fallback_matches_native():
+    from ocrs_tpu import native
+    from ocrs_tpu.ops.rects import _runs_to_rects_numpy, runs_tables
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    mask = _random_blob_mask(11, hw=(80, 120), n_blobs=8)
+    t = np.asarray(runs_tables(jnp.asarray(mask), pool=2, solidify=True))[None]
+    nat = native.runs_to_rects(t[:, :6], 2, 64)
+    pyf = _runs_to_rects_numpy(t[:, :6], 2, 64)
+    np.testing.assert_allclose(nat, pyf, atol=1e-9)
+
+
+def test_pipeline_run_table_geometry_matches_device_path():
+    """End-to-end: PagePipeline text output with run_table_geometry on and
+    off must agree on fake models (same connectivity semantics; the rect fit
+    differs only by the angle scan's 0.9-deg resolution)."""
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    pages = np.zeros((4, 100, 200), dtype=np.float32)
+    for i in range(4):
+        pages[i, 30:50, 20 + 5 * i : 90 + 5 * i] = 1.0
+        pages[i, 60:75, 40 : 160 - 5 * i] = 1.0
+    alphabet = DEFAULT_ALPHABET[:63]
+
+    def make(run_tables):
+        return PagePipeline(
+            FakeDetectionModel(),
+            FakeRecognitionModel(),
+            alphabet,
+            max_lines_per_batch=8,
+            run_table_geometry=run_tables,
+        )
+
+    a = make(False).process(pages)
+    b = make(True).process(pages)
+    assert len(a) == len(b) == 4
+    for ra, rb in zip(a, b):
+        assert ra.text == rb.text
+        assert len(ra.words) == len(rb.words)
