@@ -11,6 +11,7 @@
 // Interface: plain C ABI consumed via ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <functional>
@@ -84,23 +85,13 @@ bool segments_intersect(double px, double py, double qx, double qy,
   return hi >= 0.0 && lo <= 1.0;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Breuel max-empty-rects with Shafait score + IoU overlap filter
-// (empty_rects.rs:86-229, layout_analysis.rs:137-155). `obs` is K x 4
-// (t,l,b,r), PRE-SORTED by (int)center.x then (int)center.y. Returns the
-// number of rects written to `out` (up to max_out rows of t,l,b,r).
-int oc_find_separators(const double* obs, int K, const double* boundary,
-                       double min_w, double min_h, double iou_thresh,
-                       int max_out, double* out) {
+// Core of oc_find_separators, reusable from oc_find_text_lines.
+std::vector<Tlbr> find_separators_impl(std::vector<Tlbr> all,
+                                       const Tlbr& bound, double min_w,
+                                       double min_h, double iou_thresh,
+                                       int max_out) {
   std::priority_queue<Partition, std::vector<Partition>, PartitionLess> queue;
-  Tlbr bound{boundary[0], boundary[1], boundary[2], boundary[3]};
   if (bound.r - bound.l > 0 && bound.b - bound.t > 0) {
-    std::vector<Tlbr> all(K);
-    for (int i = 0; i < K; i++)
-      all[i] = Tlbr{obs[i * 4], obs[i * 4 + 1], obs[i * 4 + 2], obs[i * 4 + 3]};
     queue.push(Partition{shafait_score(bound), 0, bound, std::move(all)});
   }
   uint64_t seq = 1;
@@ -140,24 +131,13 @@ int oc_find_separators(const double* obs, int K, const double* boundary,
       queue.push(Partition{shafait_score(sr), seq++, sr, std::move(sub_obs)});
     }
   }
-  for (size_t i = 0; i < found.size(); i++) {
-    out[i * 4] = found[i].t;
-    out[i * 4 + 1] = found[i].l;
-    out[i * 4 + 2] = found[i].b;
-    out[i * 4 + 3] = found[i].r;
-  }
-  return (int)found.size();
+  return found;
 }
 
-// Greedy left-to-right line chaining (layout_analysis.rs:19-71).
-// feat: n x 9 [cx, cy, bleft, lcx, ly0, ly1, rcx, ry0, ry1]
-// seps: S x 4 [x1, y1, x2, y2]
-// out_line[i]: line id of word i (line ids in creation order)
-// out_rank[i]: position of word i within its line
-// Returns the number of lines.
-int oc_group_lines(const double* feat, int n, const double* seps, int S,
-                   double overlap_threshold, double max_h_overlap,
-                   int32_t* out_line, int32_t* out_rank) {
+// Core of oc_group_lines, reusable from oc_find_text_lines.
+int group_lines_impl(const double* feat, int n, const double* seps, int S,
+                     double overlap_threshold, double max_h_overlap,
+                     int32_t* out_line, int32_t* out_rank) {
   const auto F = [&](int i, int j) { return feat[i * 9 + j]; };
   // Stable sort by integer bleft (ties keep input order).
   std::vector<int> order(n);
@@ -214,6 +194,195 @@ int oc_group_lines(const double* feat, int n, const double* seps, int S,
     line_id++;
   }
   return line_id;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Breuel max-empty-rects with Shafait score + IoU overlap filter
+// (empty_rects.rs:86-229, layout_analysis.rs:137-155). `obs` is K x 4
+// (t,l,b,r), PRE-SORTED by (int)center.x then (int)center.y. Returns the
+// number of rects written to `out` (up to max_out rows of t,l,b,r).
+int oc_find_separators(const double* obs, int K, const double* boundary,
+                       double min_w, double min_h, double iou_thresh,
+                       int max_out, double* out) {
+  std::vector<Tlbr> all(K);
+  for (int i = 0; i < K; i++)
+    all[i] = Tlbr{obs[i * 4], obs[i * 4 + 1], obs[i * 4 + 2], obs[i * 4 + 3]};
+  Tlbr bound{boundary[0], boundary[1], boundary[2], boundary[3]};
+  std::vector<Tlbr> found = find_separators_impl(std::move(all), bound, min_w,
+                                                 min_h, iou_thresh, max_out);
+  for (size_t i = 0; i < found.size(); i++) {
+    out[i * 4] = found[i].t;
+    out[i * 4 + 1] = found[i].l;
+    out[i * 4 + 2] = found[i].b;
+    out[i * 4 + 3] = found[i].r;
+  }
+  return (int)found.size();
+}
+
+// Greedy left-to-right line chaining (layout_analysis.rs:19-71).
+// feat: n x 9 [cx, cy, bleft, lcx, ly0, ly1, rcx, ry0, ry1]
+// seps: S x 4 [x1, y1, x2, y2]
+// out_line[i]: line id of word i (line ids in creation order)
+// out_rank[i]: position of word i within its line
+// Returns the number of lines.
+int oc_group_lines(const double* feat, int n, const double* seps, int S,
+                   double overlap_threshold, double max_h_overlap,
+                   int32_t* out_line, int32_t* out_rank) {
+  return group_lines_impl(feat, n, seps, S, overlap_threshold, max_h_overlap,
+                          out_line, out_rank);
+}
+
+// Full layout analysis (layout_analysis.rs:83-232): separator discovery +
+// separator-aware line chaining + reading-order paragraph clustering — the
+// complete find_text_lines in one host call (the Python glue between the
+// three kernels measured comparable to the kernels themselves on the
+// single-core hosts this runs on).
+//
+// feat: n x 9 (as oc_group_lines); boxes: n x 4 (t,l,b,r) word bounding
+// boxes; median_height: round(height of word n/2 in input order).
+// Outputs: out_word[p] = word index at reading-order position p (p in
+// [0, n)); out_line[p] = 0-based line id (consecutive, increasing in
+// reading order) of that position. Returns the number of lines.
+int oc_find_text_lines(const double* feat, const double* boxes, int n,
+                       double median_height, double overlap_threshold,
+                       double max_h_overlap, int32_t* out_word,
+                       int32_t* out_line) {
+  if (n == 0) return 0;
+  std::vector<int32_t> line_of(n), rank(n);
+
+  // 1. Separator-free grouping for spacing statistics.
+  int n_lines0 =
+      group_lines_impl(feat, n, nullptr, 0, overlap_threshold, max_h_overlap,
+                       line_of.data(), rank.data());
+  std::vector<std::vector<int>> lines0(n_lines0);
+  {
+    std::vector<int> count(n_lines0, 0);
+    for (int i = 0; i < n; i++) count[line_of[i]]++;
+    for (int l = 0; l < n_lines0; l++) lines0[l].resize(count[l]);
+    for (int i = 0; i < n; i++) lines0[line_of[i]][rank[i]] = i;
+  }
+  std::vector<long long> spacings;
+  for (const auto& li : lines0)
+    for (size_t k = 1; k < li.size(); k++) {
+      double s = std::max(boxes[li[k] * 4 + 1] - boxes[li[k - 1] * 4 + 3], 0.0);
+      // Match Python int(round(s)): round-half-even.
+      spacings.push_back((long long)std::nearbyint(s));
+    }
+  std::sort(spacings.begin(), spacings.end());
+  long long median_spacing =
+      spacings.empty() ? 10 : spacings[spacings.size() / 2];
+
+  // 2. Separators from max-empty-rects over integral word boxes.
+  Tlbr page{std::floor(boxes[0]), std::floor(boxes[1]), std::ceil(boxes[2]),
+            std::ceil(boxes[3])};
+  std::vector<Tlbr> obs(n);
+  for (int i = 0; i < n; i++) {
+    obs[i] = Tlbr{std::floor(boxes[i * 4]), std::floor(boxes[i * 4 + 1]),
+                  std::ceil(boxes[i * 4 + 2]), std::ceil(boxes[i * 4 + 3])};
+    page.t = std::min(page.t, std::floor(boxes[i * 4]));
+    page.l = std::min(page.l, std::floor(boxes[i * 4 + 1]));
+    page.b = std::max(page.b, std::ceil(boxes[i * 4 + 2]));
+    page.r = std::max(page.r, std::ceil(boxes[i * 4 + 3]));
+  }
+  std::stable_sort(obs.begin(), obs.end(), [](const Tlbr& a, const Tlbr& b) {
+    long long ax = (long long)((a.l + a.r) / 2), bx = (long long)((b.l + b.r) / 2);
+    if (ax != bx) return ax < bx;
+    return (long long)((a.t + a.b) / 2) < (long long)((b.t + b.b) / 2);
+  });
+  std::vector<Tlbr> seps = find_separators_impl(
+      obs, page, (double)(median_spacing * 3),
+      3.0 * std::max(median_height, 0.0), 0.5, 80);
+
+  // 3. Line chaining with vertical separator centre-lines.
+  std::vector<double> vseps(seps.size() * 4);
+  for (size_t s = 0; s < seps.size(); s++) {
+    double cx = (seps[s].l + seps[s].r) / 2.0;
+    vseps[s * 4] = cx;
+    vseps[s * 4 + 1] = seps[s].t;
+    vseps[s * 4 + 2] = cx;
+    vseps[s * 4 + 3] = seps[s].b;
+  }
+  int n_lines =
+      group_lines_impl(feat, n, vseps.data(), (int)seps.size(),
+                       overlap_threshold, max_h_overlap, line_of.data(),
+                       rank.data());
+  std::vector<std::vector<int>> lines(n_lines);
+  {
+    std::vector<int> count(n_lines, 0);
+    for (int i = 0; i < n; i++) count[line_of[i]]++;
+    for (int l = 0; l < n_lines; l++) lines[l].resize(count[l]);
+    for (int i = 0; i < n; i++) lines[line_of[i]][rank[i]] = i;
+  }
+
+  // 4. Line mid-segments (first word's left edge centre -> last word's
+  // right edge centre, layout_analysis.rs:182-189), sorted by vertical
+  // midpoint (stable).
+  std::vector<std::array<double, 4>> mid(n_lines);  // x0, y0, x1, y1
+  for (int l = 0; l < n_lines; l++) {
+    const double* f = boxes + lines[l].front() * 4;
+    const double* la = boxes + lines[l].back() * 4;
+    mid[l] = {f[1], (f[0] + f[2]) / 2.0, la[3], (la[0] + la[2]) / 2.0};
+  }
+  std::vector<int> order(n_lines);
+  for (int l = 0; l < n_lines; l++) order[l] = l;
+  std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+    return (long long)std::trunc((mid[a][1] + mid[a][3]) / 2.0) <
+           (long long)std::trunc((mid[b][1] + mid[b][3]) / 2.0);
+  });
+
+  // 5. Greedy paragraph clustering (layout_analysis.rs:205-226).
+  std::vector<char> alive(n_lines, 1);
+  std::vector<int> result;
+  result.reserve(n_lines);
+  int remaining = n_lines, cursor = 0;
+  while (remaining) {
+    while (!alive[cursor]) cursor++;
+    int seed = cursor;
+    alive[seed] = 0;
+    remaining--;
+    result.push_back(seed);
+    const std::array<double, 4>* prev = &mid[order[seed]];
+    for (int i = seed + 1; i < n_lines; i++) {
+      if (!alive[i]) continue;
+      const std::array<double, 4>& cand = mid[order[i]];
+      double lo = std::max(std::min((*prev)[0], (*prev)[2]),
+                           std::min(cand[0], cand[2]));
+      double hi = std::min(std::max((*prev)[0], (*prev)[2]),
+                           std::max(cand[0], cand[2]));
+      if (hi - lo <= 0.0) continue;
+      bool separated = false;
+      double px = ((*prev)[0] + (*prev)[2]) / 2.0;
+      double py = ((*prev)[1] + (*prev)[3]) / 2.0;
+      double qx = (cand[0] + cand[2]) / 2.0;
+      double qy = (cand[1] + cand[3]) / 2.0;
+      for (const Tlbr& s : seps) {
+        double cy = (s.t + s.b) / 2.0;
+        if (segments_intersect(px, py, qx, qy, s.l, cy, s.r, cy)) {
+          separated = true;
+          break;
+        }
+      }
+      if (separated) continue;
+      alive[i] = 0;
+      remaining--;
+      result.push_back(i);
+      prev = &cand;
+    }
+  }
+
+  // 6. Flatten to reading order.
+  int p = 0;
+  for (int out_l = 0; out_l < (int)result.size(); out_l++) {
+    for (int w : lines[order[result[out_l]]]) {
+      out_word[p] = w;
+      out_line[p] = out_l;
+      p++;
+    }
+  }
+  return n_lines;
 }
 
 // Run-table connected components + exact min-area rects.

@@ -376,6 +376,81 @@ def find_block_separators(
     return list(itertools.islice(filter_overlapping(it, 0.5), 80))
 
 
+def _word_features_arrays(
+    cx: np.ndarray,
+    cy: np.ndarray,
+    ux: np.ndarray,
+    uy: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(feat [n, 9], boxes [n, 4 tlbr]) for the native layout entry, computed
+    straight from rect component arrays (mirrors _WordIndex +
+    _bounding_rects without constructing RotatedRect objects)."""
+    n = len(cx)
+    rx, ry = -uy, ux  # rot90(up)
+    rwx, rwy = rx * (w / 2.0), ry * (w / 2.0)
+    uhx, uhy = ux * (h / 2.0), uy * (h / 2.0)
+    cs_x = np.stack(
+        [cx + rwx - uhx, cx - rwx - uhx, cx - rwx + uhx, cx + rwx + uhx], axis=1
+    )
+    cs_y = np.stack(
+        [cy + rwy - uhy, cy - rwy - uhy, cy - rwy + uhy, cy + rwy + uhy], axis=1
+    )
+    order = np.argsort(cs_x, axis=1, kind="stable")
+    sx = np.take_along_axis(cs_x, order, axis=1)
+    sy = np.take_along_axis(cs_y, order, axis=1)
+    feat = np.stack(
+        [
+            cx,
+            cy,
+            cs_x.min(axis=1),
+            (sx[:, 0] + sx[:, 1]) / 2.0,
+            np.minimum(sy[:, 0], sy[:, 1]),
+            np.maximum(sy[:, 0], sy[:, 1]),
+            (sx[:, 2] + sx[:, 3]) / 2.0,
+            np.minimum(sy[:, 2], sy[:, 3]),
+            np.maximum(sy[:, 2], sy[:, 3]),
+        ],
+        axis=1,
+    )
+    ext_x = np.abs(rx) * (w / 2.0) + np.abs(ux) * (h / 2.0)
+    ext_y = np.abs(ry) * (w / 2.0) + np.abs(uy) * (h / 2.0)
+    boxes = np.stack([cy - ext_y, cx - ext_x, cy + ext_y, cx + ext_x], axis=1)
+    return feat, boxes
+
+
+def find_text_lines_idx_arrays(
+    cx: np.ndarray,
+    cy: np.ndarray,
+    ux: np.ndarray,
+    uy: np.ndarray,
+    w: np.ndarray,
+    h: np.ndarray,
+) -> Optional[list[list[int]]]:
+    """Native full-layout fast path from rect component arrays: returns word
+    index lists per line, lines in reading order — or None when the native
+    library is unavailable (callers fall back to :func:`find_text_lines`
+    over constructed rects). One C call replaces the Python glue between
+    the three layout kernels, which costs as much as the kernels on a
+    single-core host."""
+    n = len(cx)
+    if n == 0:
+        return []
+    feat, boxes = _word_features_arrays(cx, cy, ux, uy, w, h)
+    median_height = float(round(float(h[n // 2])))
+    res = native.find_text_lines(
+        feat, boxes, median_height, float(OVERLAP_THRESHOLD), float(MAX_H_OVERLAP)
+    )
+    if res is None:
+        return None
+    out_word, out_line, n_lines = res
+    lines: list[list[int]] = [[] for _ in range(n_lines)]
+    for widx, lid in zip(out_word.tolist(), out_line.tolist()):
+        lines[lid].append(widx)
+    return lines
+
+
 def find_text_lines(words: Sequence[RotatedRect]) -> list[list[RotatedRect]]:
     """Group words into lines and sort into reading order
     (layout_analysis.rs:158-232)."""

@@ -105,6 +105,17 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32,
             _I32,
         ]
+        lib.oc_find_text_lines.restype = ctypes.c_int
+        lib.oc_find_text_lines.argtypes = [
+            _F64,
+            _F64,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.c_double,
+            _I32,
+            _I32,
+        ]
         lib.oc_runs_to_rects.restype = None
         lib.oc_runs_to_rects.argtypes = [
             _I16,
@@ -184,6 +195,36 @@ def group_lines(
         out_rank,
     )
     return out_line, out_rank, n_lines
+
+
+def find_text_lines(
+    feat: np.ndarray,
+    boxes: np.ndarray,
+    median_height: float,
+    overlap_threshold: float,
+    max_h_overlap: float,
+) -> Optional[tuple[np.ndarray, np.ndarray, int]]:
+    """C++ full layout (separators + chaining + paragraph order). Returns
+    (word_order, line_of_position, n_lines) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    feat = np.ascontiguousarray(feat, dtype=np.float64)
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+    n = feat.shape[0]
+    out_word = np.empty(n, dtype=np.int32)
+    out_line = np.empty(n, dtype=np.int32)
+    n_lines = lib.oc_find_text_lines(
+        feat,
+        boxes,
+        n,
+        float(median_height),
+        float(overlap_threshold),
+        float(max_h_overlap),
+        out_word,
+        out_line,
+    )
+    return out_word, out_line, n_lines
 
 
 def runs_to_rects(

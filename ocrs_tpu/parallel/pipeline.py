@@ -420,6 +420,13 @@ class PagePipeline:
         return tables, (1.0, 1.0)
 
     def _tables_to_words(self, tables, scale) -> list[list[RotatedRect]]:
+        return self._tables_to_words_arrays(tables, scale)[0]
+
+    def _tables_to_words_arrays(self, tables, scale):
+        """Returns (per_page_words, per_page_arrays) where arrays is the
+        (cx, cy, ux, uy, w, h) tuple matching the words list (for the
+        native array-based layout entry), or None for pages that took the
+        general anisotropic re-fit path."""
         sx, sy = scale
         # ONE device->host readback: tables arrive as a packed [B, 9, C]
         # rect table OR a packed [B, 7, K] int16 run table, so the relay
@@ -442,6 +449,7 @@ class PagePipeline:
         b = t["valid"].shape[0]
         iso = abs(sx - sy) < 1e-9
         per_page: list[list[RotatedRect]] = []
+        per_arrays: list = []
         for i in range(b):
             idx = np.nonzero(t["valid"][i])[0]
             cx = t["cx"][i][idx].astype(np.float64)
@@ -465,27 +473,39 @@ class PagePipeline:
             ew = sw + 2.0 * EXPAND_DIST * sx
             eh = sh + 2.0 * EXPAND_DIST * sy
             keep = ew * eh >= self._params.min_area
-            words: list[RotatedRect] = []
-            for j in range(len(idx)):
-                if iso or axis_aligned[j]:
-                    if not keep[j]:
-                        continue
-                    words.append(
-                        RotatedRect(
-                            (scx[j], scy[j]), (ux[j], uy[j]), ew[j], eh[j]
+            if iso or bool(axis_aligned.all()):
+                k = np.nonzero(keep)[0]
+                a = (scx[k], scy[k], ux[k], uy[k], ew[k], eh[k])
+                words = [
+                    RotatedRect._raw(*vals)
+                    for vals in zip(*(col.tolist() for col in a))
+                ]
+                per_arrays.append(a)
+            else:
+                words = []
+                for j in range(len(idx)):
+                    if axis_aligned[j]:
+                        if not keep[j]:
+                            continue
+                        words.append(
+                            RotatedRect(
+                                (scx[j], scy[j]), (ux[j], uy[j]), ew[j], eh[j]
+                            )
                         )
-                    )
-                else:
-                    rect = RotatedRect((cx[j], cy[j]), (ux[j], uy[j]), w[j], h[j])
-                    scaled = _scale_rotated_rect(rect, sx, sy)
-                    scaled.resize(
-                        scaled.width + 2.0 * EXPAND_DIST * sx,
-                        scaled.height + 2.0 * EXPAND_DIST * sy,
-                    )
-                    if scaled.area() >= self._params.min_area:
-                        words.append(scaled)
+                    else:
+                        rect = RotatedRect(
+                            (cx[j], cy[j]), (ux[j], uy[j]), w[j], h[j]
+                        )
+                        scaled = _scale_rotated_rect(rect, sx, sy)
+                        scaled.resize(
+                            scaled.width + 2.0 * EXPAND_DIST * sx,
+                            scaled.height + 2.0 * EXPAND_DIST * sy,
+                        )
+                        if scaled.area() >= self._params.min_area:
+                            words.append(scaled)
+                per_arrays.append(None)
             per_page.append(words)
-        return per_page
+        return per_page, per_arrays
 
     # -- recognition ----------------------------------------------------------
 
@@ -749,8 +769,18 @@ class PagePipeline:
     def _dispatch_group(self, pages_dev, tables, scale) -> tuple:
         """Host-side head of one group's tail: table readback, layout, and
         recognition dispatch (device programs queued, label copies async)."""
-        per_page_words = self._tables_to_words(tables, scale)
-        per_page_lines = [find_text_lines(words) for words in per_page_words]
+        from ..layout import find_text_lines_idx_arrays
+
+        per_page_words, per_arrays = self._tables_to_words_arrays(tables, scale)
+        per_page_lines = []
+        for words, arrs in zip(per_page_words, per_arrays):
+            idx = (
+                find_text_lines_idx_arrays(*arrs) if arrs is not None else None
+            )
+            if idx is None:
+                per_page_lines.append(find_text_lines(words))
+            else:
+                per_page_lines.append([[words[i] for i in li] for li in idx])
         inflight = self._dispatch_recognition(pages_dev, per_page_lines)
         return per_page_words, per_page_lines, inflight
 

@@ -1,5 +1,7 @@
 import random
 
+import pytest
+
 import numpy as np
 
 from ocrs_tpu.geometry import Rect, RotatedRect
@@ -113,3 +115,81 @@ def test_find_text_lines_two_columns():
 
 def test_find_text_lines_empty():
     assert find_text_lines([]) == []
+
+
+def _random_words(seed, n=120, rotated=False):
+    rng = np.random.default_rng(seed)
+    words = []
+    for _ in range(n):
+        cx = float(rng.uniform(20, 780))
+        cy = float(rng.uniform(20, 580))
+        w = float(rng.uniform(15, 70))
+        h = float(rng.uniform(8, 16))
+        if rotated:
+            th = float(rng.uniform(-0.15, 0.15))
+            up = (np.sin(th), -np.cos(th))
+        else:
+            up = (0.0, -1.0)
+        words.append(RotatedRect((cx, cy), up, w, h))
+    return words
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("rotated", [False, True])
+def test_native_full_layout_matches_python(seed, rotated):
+    """The one-call C++ find_text_lines must reproduce the Python/numpy
+    find_text_lines exactly: same lines, same reading order."""
+    from ocrs_tpu import native
+    from ocrs_tpu.layout import find_text_lines_idx_arrays
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    words = _random_words(seed, rotated=rotated)
+    cx = np.array([w.center[0] for w in words])
+    cy = np.array([w.center[1] for w in words])
+    ux = np.array([w.up[0] for w in words])
+    uy = np.array([w.up[1] for w in words])
+    ww = np.array([w.width for w in words])
+    hh = np.array([w.height for w in words])
+    idx = find_text_lines_idx_arrays(cx, cy, ux, uy, ww, hh)
+    assert idx is not None
+    got = [[tuple(words[i].center) for i in li] for li in idx]
+    want = [
+        [tuple(w.center) for w in line] for line in find_text_lines(words)
+    ]
+    assert got == want
+
+
+def test_native_full_layout_two_columns():
+    """Two-column fixture through the array entry: column-major reading
+    order (the separator must be honored), matching find_text_lines."""
+    from ocrs_tpu import native
+    from ocrs_tpu.layout import find_text_lines_idx_arrays
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    words = []
+    for col_x in (0.0, 400.0):
+        for row in range(12):
+            for wi in range(4):
+                words.append(
+                    RotatedRect(
+                        (col_x + 30 + 70 * wi + 35, 20 * row + 8),
+                        (0.0, -1.0),
+                        60,
+                        12,
+                    )
+                )
+    cx = np.array([w.center[0] for w in words])
+    cy = np.array([w.center[1] for w in words])
+    ux = np.array([w.up[0] for w in words])
+    uy = np.array([w.up[1] for w in words])
+    ww = np.array([w.width for w in words])
+    hh = np.array([w.height for w in words])
+    idx = find_text_lines_idx_arrays(cx, cy, ux, uy, ww, hh)
+    want = [
+        [tuple(w.center) for w in line] for line in find_text_lines(words)
+    ]
+    got = [[tuple(words[i].center) for i in li] for li in idx]
+    assert got == want
+    assert len(idx) == 24

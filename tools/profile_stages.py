@@ -22,6 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
+import sys
+
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 
 def fence(x):
