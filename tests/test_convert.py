@@ -36,6 +36,93 @@ def test_convert_state_dict_reports_mismatch():
         convert_torch_state_dict({"x": np.zeros((3, 3))}, params)
 
 
+def _make_torch_crnn(torch, hidden, n_classes):
+    import torch.nn.functional as F
+
+    class TorchCRNN(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(1, 32, 3, stride=(2, 2))
+            self.conv2 = torch.nn.Conv2d(32, 64, 3, stride=(2, 1))
+            self.conv3 = torch.nn.Conv2d(64, 96, 3, stride=(2, 2))
+            self.conv4 = torch.nn.Conv2d(96, 128, 3, stride=(2, 1))
+            self.proj = torch.nn.Linear(4 * 128, hidden)
+            self.gru1 = torch.nn.GRU(hidden, hidden, bidirectional=True, batch_first=True)
+            self.gru2 = torch.nn.GRU(2 * hidden, hidden, bidirectional=True, batch_first=True)
+            self.head = torch.nn.Linear(2 * hidden, n_classes)
+
+        def forward(self, x):
+            # XLA SAME padding for k=3: (1,1) at stride 1, (0,1) at stride 2.
+            def pad(x, sh, sw):
+                return F.pad(x, (0 if sw == 2 else 1, 1, 0 if sh == 2 else 1, 1))
+
+            h = F.relu(self.conv1(pad(x, 2, 2)))
+            h = F.relu(self.conv2(pad(h, 2, 1)))
+            h = F.relu(self.conv3(pad(h, 2, 2)))
+            h = F.relu(self.conv4(pad(h, 2, 1)))
+            n, c, hh, t = h.shape  # [N, 128, 4, T]
+            h = h.permute(0, 3, 2, 1).reshape(n, t, hh * c)
+            h = F.relu(self.proj(h))
+            h, _ = self.gru1(h)
+            h, _ = self.gru2(h)
+            logits = self.head(h)
+            return F.log_softmax(logits, dim=-1).permute(1, 0, 2)  # [T, N, C]
+
+    return TorchCRNN()
+
+
+def test_onnx_roundtrip(tmp_path, monkeypatch):
+    """convert_onnx proven on a REAL torch.onnx.export: the CRNN twin is
+    exported to a genuine ONNX protobuf (TorchScript exporter), loaded back
+    with the built-in protobuf parser (no `onnx` package in this image), and
+    the converted JAX model must match the torch outputs.
+
+    The export pipeline is bypassed at exactly one step:
+    `_add_onnxscript_fn`, which requires the `onnx` package only to reparse
+    the finished model bytes and append custom onnxscript functions — a
+    no-op for this model (it has none). The bytes passed through are the
+    exporter's own finished ModelProto.
+    """
+    torch = pytest.importorskip("torch")
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    import jax.numpy as jnp
+
+    from ocrs_tpu.models.convert import convert_onnx, onnx_to_state_dict
+    from ocrs_tpu.models.recognition_net import apply as jax_apply
+    from ocrs_tpu.models.recognition_net import init_params
+
+    hidden, n_classes = 16, 9
+    torch.manual_seed(1)
+    src = _make_torch_crnn(torch, hidden, n_classes).double().eval()
+
+    monkeypatch.setattr(
+        onnx_proto_utils, "_add_onnxscript_fn", lambda model_bytes, custom_opsets: model_bytes
+    )
+    path = str(tmp_path / "crnn.onnx")
+    x_t = torch.zeros(2, 1, 64, 96, dtype=torch.float64)
+    torch.onnx.export(src, (x_t,), path, dynamo=False, do_constant_folding=True)
+
+    # The parser must find the 4 GRU directions' worth of split weights plus
+    # the conv/dense parameters, all float.
+    state = onnx_to_state_dict(path)
+    assert sum("weight_ih" in k for k in state) == 4
+    assert all(np.issubdtype(v.dtype, np.floating) for v in state.values())
+
+    target = jax.device_get(init_params(jax.random.key(1), n_classes, hidden))
+    converted = convert_onnx(path, target)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 1, 64, 96)) * 0.3
+    with torch.no_grad():
+        ref = src(torch.from_numpy(x)).numpy()
+    with jax.enable_x64(True):
+        converted64 = jax.tree.map(lambda a: np.asarray(a, np.float64), converted)
+        out = np.asarray(jax_apply(converted64, x, dtype=jnp.float64))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-8, rtol=1e-8)
+
+
 def test_torch_crnn_numeric_equivalence():
     """Full torch-CRNN -> JAX conversion proof: a PyTorch twin of the crnn
     architecture (same graph, ONNX-style asymmetric stride-2 pads, torch GRU
