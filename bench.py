@@ -214,31 +214,52 @@ def bench_screenshot_latency() -> dict:
 
 
 def bench_line_recognition() -> dict:
-    """Config 4: batch-64 text-line recognition throughput (lines/s)."""
+    """Config 4: batch-64 text-line recognition throughput (lines/s),
+    greedy vs width-4 beam (device top-k + C++ prefix beam)."""
+    import jax
     import jax.numpy as jnp
 
+    from ocrs_tpu.ops.ctc import (
+        beam_decode_topk_arrays,
+        beam_topk_packed,
+        collapse_greedy_batch_arrays,
+        greedy_labels_u8,
+        unpack_topk,
+    )
     from ocrs_tpu.models.recognition_net import RecognitionModel
-    from ocrs_tpu.ops.ctc import collapse_greedy_batch, greedy_labels
 
     rec = RecognitionModel.create(0)
     batch = jnp.zeros((64, 1, 64, 2432), jnp.float32)
 
-    def run():
+    def run_greedy():
         lp = rec.run(batch)
-        labels = greedy_labels(jnp.transpose(lp, (1, 0, 2)))
-        return collapse_greedy_batch(np.asarray(labels))
+        labels = greedy_labels_u8(jnp.transpose(lp, (1, 0, 2)))
+        return collapse_greedy_batch_arrays(np.asarray(labels))
 
-    run()
-    t0 = time.perf_counter()
-    n_iter = 5
-    for _ in range(n_iter):
-        run()
-    dt = (time.perf_counter() - t0) / n_iter
+    def run_beam():
+        lp = rec.run(batch)
+        n_classes = lp.shape[-1]
+        packed = beam_topk_packed(jnp.transpose(lp, (1, 0, 2)), k=8)
+        vals, idx = unpack_topk(np.asarray(packed), 8)
+        return beam_decode_topk_arrays(vals, idx, 4, n_classes)
+
+    def timed(fn):
+        fn()
+        t0 = time.perf_counter()
+        n_iter = 5
+        for _ in range(n_iter):
+            fn()
+        return (time.perf_counter() - t0) / n_iter
+
+    dt_greedy = timed(run_greedy)
+    dt_beam = timed(run_beam)
     return {
         "metric": "line_recognition_batch64_w2432",
-        "value": round(64 / dt, 1),
+        "value": round(64 / dt_greedy, 1),
         "unit": "lines/s",
         "vs_baseline": 0.0,
+        "beam4_lines_per_s": round(64 / dt_beam, 1),
+        "beam_over_greedy_wall": round(dt_beam / dt_greedy, 2),
     }
 
 

@@ -30,8 +30,10 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _F64 = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_F32 = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 _I32 = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _I16 = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+_U8 = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 
 def _src_digest() -> str:
@@ -128,6 +130,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.oc_ctc_collapse.restype = None
         lib.oc_ctc_collapse.argtypes = [
             _I32,
+            ctypes.c_int,
+            ctypes.c_int,
+            _I32,
+            _I32,
+            _I32,
+        ]
+        lib.oc_ctc_beam.restype = None
+        lib.oc_ctc_beam.argtypes = [
+            _F32,
+            _I32,
+            ctypes.c_int,
+            ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
             _I32,
@@ -256,3 +270,47 @@ def ctc_collapse_batch(labels: np.ndarray) -> Optional[tuple[np.ndarray, np.ndar
     out_count = np.empty(n, dtype=np.int32)
     lib.oc_ctc_collapse(labels, n, t, out_pos, out_lab, out_count)
     return out_pos, out_lab, out_count
+
+
+def ctc_beam_topk(
+    vals: np.ndarray, idx: np.ndarray, beam_width: int
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C++ batch CTC prefix beam search over per-frame TOP-K candidates.
+
+    vals/idx are [N, T, K] descending candidate log-probs and class ids
+    (-inf vals are padding) — typically a device-side ``lax.top_k`` readback.
+    Returns (pos, lab, counts) with pos/lab [N, T] int32, or None when the
+    native library is unavailable (callers fall back to the Python beam).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    idx = np.ascontiguousarray(idx, dtype=np.int32)
+    n, t, k = vals.shape
+    out_pos = np.empty((n, t), dtype=np.int32)
+    out_lab = np.empty((n, t), dtype=np.int32)
+    out_count = np.empty(n, dtype=np.int32)
+    lib.oc_ctc_beam(vals, idx, n, t, k, int(beam_width), out_pos, out_lab, out_count)
+    return out_pos, out_lab, out_count
+
+
+def ctc_beam_batch(
+    logprobs: np.ndarray,
+    beam_width: int,
+    excluded_onehot: Optional[np.ndarray] = None,
+) -> Optional[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """:func:`ctc_beam_topk` over full [N, T, C] log-probs: computes the
+    per-frame top-max(W,8) candidates on host (argsort-descending order,
+    matching the Python oracle's pruning) then runs the C++ kernel."""
+    if _load() is None:
+        return None
+    lp = np.asarray(logprobs, dtype=np.float32)
+    if excluded_onehot is not None:
+        lp = np.where(excluded_onehot.astype(bool), -np.inf, lp)
+    k = min(max(int(beam_width), 8), lp.shape[-1])
+    # argsort descending over classes, keep K: ties resolve to the higher
+    # class id, same as the oracle's np.argsort(frame)[::-1].
+    idx = np.argsort(lp, axis=-1)[..., ::-1][..., :k].astype(np.int32)
+    vals = np.take_along_axis(lp, idx, axis=-1)
+    return ctc_beam_topk(vals, idx, beam_width)

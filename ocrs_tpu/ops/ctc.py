@@ -111,6 +111,161 @@ def collapse_greedy(labels: np.ndarray) -> list[CtcStep]:
     return steps
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def beam_topk(logprobs: jax.Array, k: int = 8) -> tuple[jax.Array, jax.Array]:
+    """Device-side per-frame top-k candidates for beam search.
+
+    The prefix beam only ever considers the top ``max(width, 8)`` classes per
+    frame (the oracle's pruning), so reading back ``(vals, idx)`` of shape
+    [N, T, k] instead of the full [N, T, C] log-probs shrinks the
+    device->host copy to ~k/C the size with bit-identical decode results.
+    idx is u8 (class counts < 256 for any realistic alphabet)."""
+    vals, idx = jax.lax.top_k(logprobs, k)
+    return vals, idx.astype(jnp.uint8)
+
+
+@_partial(jax.jit, static_argnames=("k",))
+def beam_topk_packed(logprobs: jax.Array, k: int = 8) -> jax.Array:
+    """:func:`beam_topk` packed into ONE u8 buffer [N, T, 5k]: the f32
+    candidate values bitcast to bytes (little-endian minor axis, XLA
+    bitcast_convert_type semantics) followed by the u8 class ids. One packed
+    readback costs one relay round trip; two arrays cost two (~30ms each on
+    the axon relay). Unpack with :func:`unpack_topk`."""
+    vals, idx = jax.lax.top_k(logprobs, k)
+    # f32 regardless of compute dtype (bf16 model outputs upcast) so the
+    # byte layout is fixed and the C++ beam sees full-precision candidates.
+    vb = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint8)  # [N,T,k,4]
+    flat = vb.reshape(*vals.shape[:-1], k * 4)
+    return jnp.concatenate([flat, idx.astype(jnp.uint8)], axis=-1)
+
+
+def unpack_topk(buf: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side inverse of :func:`beam_topk_packed`: [N, T, 5k] u8 ->
+    (vals f32 [N, T, k], idx i32 [N, T, k])."""
+    buf = np.ascontiguousarray(buf)
+    vals = (
+        np.ascontiguousarray(buf[..., : 4 * k])
+        .view(np.float32)
+        .reshape(*buf.shape[:-1], k)
+    )
+    idx = buf[..., 4 * k :].astype(np.int32)
+    return vals, idx
+
+
+def _topk_to_full(vals: np.ndarray, idx: np.ndarray, n_classes: int) -> np.ndarray:
+    """Scatter [T, K] candidates back to a [T, C] -inf-filled matrix (Python
+    fallback path: the oracle on this sparse matrix equals the oracle on the
+    full matrix because both prune to the same candidate set)."""
+    t, _ = vals.shape
+    full = np.full((t, n_classes), -np.inf, dtype=np.float32)
+    np.put_along_axis(full, idx.astype(np.int64), vals, axis=-1)
+    return full
+
+
+def beam_decode_topk(
+    vals: np.ndarray, idx: np.ndarray, beam_width: int, n_classes: int
+) -> list[list[CtcStep]]:
+    """Batched beam decode from device top-k readbacks ([N, T, K] each)."""
+    from .. import native
+
+    vals = np.asarray(vals, dtype=np.float32)
+    idx = np.asarray(idx, dtype=np.int32)
+    nat = native.ctc_beam_topk(vals, idx, beam_width)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [
+            [CtcStep(pos=int(pos[i, k]), label=int(lab[i, k])) for k in range(counts[i])]
+            for i in range(vals.shape[0])
+        ]
+    return [
+        beam_decode(_topk_to_full(vals[i], idx[i], n_classes), beam_width)
+        for i in range(vals.shape[0])
+    ]
+
+
+def beam_decode_topk_arrays(
+    vals: np.ndarray, idx: np.ndarray, beam_width: int, n_classes: int
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """:func:`beam_decode_topk` returning ``(pos, label)`` int32 array pairs."""
+    from .. import native
+
+    vals = np.asarray(vals, dtype=np.float32)
+    idx = np.asarray(idx, dtype=np.int32)
+    nat = native.ctc_beam_topk(vals, idx, beam_width)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [(pos[i, : counts[i]], lab[i, : counts[i]]) for i in range(vals.shape[0])]
+    out = []
+    for i in range(vals.shape[0]):
+        steps = beam_decode(_topk_to_full(vals[i], idx[i], n_classes), beam_width)
+        out.append(
+            (
+                np.array([s.pos for s in steps], dtype=np.int32),
+                np.array([s.label for s in steps], dtype=np.int32),
+            )
+        )
+    return out
+
+
+def beam_decode_batch(
+    logprobs: np.ndarray, beam_width: int, excluded: Optional[Sequence[int]] = None
+) -> list[list[CtcStep]]:
+    """Batched CTC prefix beam search over [N, T, C] log-probabilities.
+
+    Uses the C++ kernel (``oc_ctc_beam``, ~100x the Python beam and the only
+    formulation viable at pipeline scale) when the native library is
+    available; falls back to the per-line Python :func:`beam_decode`
+    otherwise. Both implement the same prefix-merging search, parity-tested
+    on random logits (tests/test_ops.py).
+    """
+    from .. import native
+
+    lp = np.asarray(logprobs)
+    onehot = None
+    if excluded:
+        onehot = np.zeros((lp.shape[-1],), dtype=np.uint8)
+        onehot[list(excluded)] = 1
+    nat = native.ctc_beam_batch(lp, beam_width, onehot)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [
+            [CtcStep(pos=int(pos[i, k]), label=int(lab[i, k])) for k in range(counts[i])]
+            for i in range(lp.shape[0])
+        ]
+    return [beam_decode(lp[i], beam_width, excluded) for i in range(lp.shape[0])]
+
+
+def beam_decode_batch_arrays(
+    logprobs: np.ndarray, beam_width: int, excluded: Optional[Sequence[int]] = None
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """:func:`beam_decode_batch` returning ``(pos, label)`` int32 array pairs
+    per line (the throughput pipeline's step representation)."""
+    from .. import native
+
+    lp = np.asarray(logprobs)
+    onehot = None
+    if excluded:
+        onehot = np.zeros((lp.shape[-1],), dtype=np.uint8)
+        onehot[list(excluded)] = 1
+    nat = native.ctc_beam_batch(lp, beam_width, onehot)
+    if nat is not None:
+        pos, lab, counts = nat
+        return [(pos[i, : counts[i]], lab[i, : counts[i]]) for i in range(lp.shape[0])]
+    out = []
+    for i in range(lp.shape[0]):
+        steps = beam_decode(lp[i], beam_width, excluded)
+        out.append(
+            (
+                np.array([s.pos for s in steps], dtype=np.int32),
+                np.array([s.label for s in steps], dtype=np.int32),
+            )
+        )
+    return out
+
+
 def beam_decode(
     logprobs: np.ndarray, beam_width: int, excluded: Optional[Sequence[int]] = None
 ) -> list[CtcStep]:

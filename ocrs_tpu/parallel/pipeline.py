@@ -36,7 +36,13 @@ from ..geometry import Rect, RotatedRect, min_area_rect
 from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
-from ..ops.ctc import beam_decode, collapse_greedy_batch_arrays, greedy_labels_u8
+from ..ops.ctc import (
+    beam_decode_topk_arrays,
+    beam_topk_packed,
+    collapse_greedy_batch_arrays,
+    greedy_labels_u8,
+    unpack_topk,
+)
 from ..ops.rects import (
     min_area_rects_device,
     pack_rect_table,
@@ -589,10 +595,12 @@ class PagePipeline:
                 # the native collapse itself).
                 decoded = collapse_greedy_batch_arrays(host)
             else:
-                decoded = [
-                    beam_decode(host[i], self._decode.width)
-                    for i in range(len(batch))
-                ]
+                n_classes = len(self._alphabet) + 1
+                k = min(max(self._decode.width, 8), n_classes)
+                vals, idx = unpack_topk(host[: len(batch)], k)
+                decoded = beam_decode_topk_arrays(
+                    vals, idx, self._decode.width, n_classes
+                )
             for (pg, rl), steps in zip(batch, decoded):
                 per_page_results[pg].append(
                     _LineResult(
@@ -656,7 +664,14 @@ class PagePipeline:
                 lp = mask_excluded(
                     lp, jnp.asarray(self._excluded_onehot[:n_classes])
                 )
-            return greedy_labels_u8(lp) if greedy else lp
+            if greedy:
+                return greedy_labels_u8(lp)
+            # Beam: per-frame top-k candidates fused into the program — the
+            # beam never looks past the top max(width, 8) classes, so the
+            # readback is ~5k/(4C) the size of the full log-probs, packed
+            # into one buffer (one relay round trip).
+            k = min(max(self._decode.width, 8), n_classes)
+            return beam_topk_packed(lp, k=k)
 
         # One fused program per (width, n_pad, decode) shape — extract,
         # model forward and the greedy argmax dispatch as a single round
@@ -680,7 +695,7 @@ class PagePipeline:
             out = run_stages(pages_dev, geom_dev, chains_dev)
         else:
             out = fused(pages_dev, geom_dev, chains_dev)
-        return out[:n]
+        return jax.tree.map(lambda a: a[:n], out)
 
     # -- entry ------------------------------------------------------------------
 

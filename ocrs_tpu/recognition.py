@@ -41,10 +41,12 @@ from .geometry import Line, Rect, RotatedRect, bounding_rect
 from .models.protocol import Model, fixed_height_or
 from .ops.ctc import (
     CtcStep,
-    beam_decode,
+    beam_decode_topk,
+    beam_topk_packed,
     collapse_greedy_batch,
     greedy_labels_u8,
     mask_excluded,
+    unpack_topk,
 )
 from .ops.resize import _interp_matrix
 from .ops.warp import extract_line_batch_packed, pad_chain
@@ -597,8 +599,15 @@ class TextRecognizer:
                 logprobs = mask_excluded(logprobs, jnp.asarray(onehot))
 
             # u8 labels: 4x smaller device->host copy than i32 (class count
-            # is < 256 for any realistic alphabet).
-            out = greedy_labels_u8(logprobs) if greedy else logprobs
+            # is < 256 for any realistic alphabet). Beam reads back only the
+            # per-frame top-k candidates (k/C of the full log-probs) — the
+            # beam never looks past them.
+            if greedy:
+                out = greedy_labels_u8(logprobs)
+            else:
+                out = beam_topk_packed(
+                    logprobs, k=min(max(opts.decode_method.width, 8), n_classes)
+                )
             try:
                 out.copy_to_host_async()
             except AttributeError:  # older jax Array without async copy
@@ -611,10 +620,11 @@ class TextRecognizer:
             if greedy:
                 decoded = collapse_greedy_batch(host[: len(batch)])
             else:
-                decoded = [
-                    beam_decode(host[i], opts.decode_method.width)
-                    for i in range(len(batch))
-                ]
+                k = min(max(opts.decode_method.width, 8), n_classes)
+                vals, idx = unpack_topk(host[: len(batch)], k)
+                decoded = beam_decode_topk(
+                    vals, idx, opts.decode_method.width, n_classes
+                )
             for rl, steps in zip(batch, decoded):
                 results.append(
                     _LineResult(

@@ -248,6 +248,72 @@ def test_beam_decode_excluded():
     assert [s.label for s in beam] == [2]
 
 
+def test_beam_batch_native_matches_python_oracle():
+    """C++ oc_ctc_beam vs the Python prefix beam on random soft logits:
+    same labels AND same emission positions for every line (the positions
+    feed char-rect back-mapping, so they are part of the contract)."""
+    from ocrs_tpu import native
+    from ocrs_tpu.ops.ctc import beam_decode_batch, beam_decode_batch_arrays
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    n, t, c = 16, 40, 13
+    # Soft random distributions (temperature ~1): many near-ties between
+    # paths, the regime where prefix merging actually matters.
+    logits = rng.normal(size=(n, t, c)).astype(np.float32)
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    for width in (1, 4, 8):
+        got = beam_decode_batch(logprobs, width)
+        for i in range(n):
+            want = beam_decode(logprobs[i], width)
+            assert [(s.pos, s.label) for s in got[i]] == [
+                (s.pos, s.label) for s in want
+            ], f"line {i} width {width}"
+    # Excluded labels propagate into the kernel.
+    got = beam_decode_batch(logprobs, 4, excluded=[2, 5])
+    for i in range(n):
+        assert all(s.label not in (2, 5) for s in got[i])
+    # Array-pair variant agrees with the step-object variant.
+    pairs = beam_decode_batch_arrays(logprobs, 4)
+    got = beam_decode_batch(logprobs, 4)
+    for i in range(n):
+        assert pairs[i][0].tolist() == [s.pos for s in got[i]]
+        assert pairs[i][1].tolist() == [s.label for s in got[i]]
+
+
+def test_beam_topk_device_path_matches_oracle():
+    """Device lax.top_k readback -> C++ beam == Python oracle on the full
+    matrix (the oracle's own per-frame pruning makes top-k exact)."""
+    from ocrs_tpu.ops.ctc import beam_decode_topk, beam_decode_topk_arrays, beam_topk
+
+    rng = np.random.default_rng(11)
+    n, t, c = 8, 32, 11
+    logits = rng.normal(size=(n, t, c)).astype(np.float32)
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    from ocrs_tpu.ops.ctc import beam_topk_packed, unpack_topk
+
+    for width in (2, 8):
+        k = min(max(width, 8), c)
+        vals, idx = beam_topk(jnp.asarray(logprobs), k=k)
+        # Packed single-readback form round-trips exactly.
+        pv, pi = unpack_topk(np.asarray(beam_topk_packed(jnp.asarray(logprobs), k=k)), k)
+        np.testing.assert_array_equal(pv, np.asarray(vals))
+        np.testing.assert_array_equal(pi, np.asarray(idx).astype(np.int32))
+        got = beam_decode_topk(np.asarray(vals), np.asarray(idx), width, c)
+        for i in range(n):
+            want = beam_decode(logprobs[i], width)
+            assert [(s.pos, s.label) for s in got[i]] == [
+                (s.pos, s.label) for s in want
+            ], f"line {i} width {width}"
+        pairs = beam_decode_topk_arrays(np.asarray(vals), np.asarray(idx), width, c)
+        for i in range(n):
+            assert pairs[i][1].tolist() == [s.label for s in got[i]]
+
+
 # ---------------------------------------------------------------------------
 # Pallas GRU (interpret mode on CPU; compiled on TPU)
 # ---------------------------------------------------------------------------
