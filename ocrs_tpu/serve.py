@@ -105,17 +105,21 @@ class OcrSession:
 
 
 class BatchingOcrService:
-    """Micro-batching request queue: concurrent requests SHARE recognition
-    batches.
+    """Micro-batching request queue: concurrent requests SHARE one
+    detection forward AND pooled recognition batches.
 
-    Detection and layout run per request with the engine's exact
-    single-image semantics (each image pads/resizes independently,
-    detection.rs:148-171). Recognition, the dominant cost, is pooled: all
-    waiting requests' pages are padded into one device stack and their
-    lines recognized through the multi-page pipeline's pooled width-bucket
-    batches (parallel/pipeline.py), so 4 concurrent one-line requests cost
-    ~one recognition dispatch instead of four. This is the serving analog
-    of the extension's batch-4 eager recognition (background.ts:427-434).
+    All waiting requests' pages are padded to the largest page in the
+    batch (BLACK padding, outside every glyph), stacked on device, and run
+    through the multi-page pipeline (parallel/pipeline.py): ONE padded
+    detection forward, batched layout, and pooled width-bucket recognition
+    — so 4 concurrent requests cost ~one detect dispatch and ~one
+    recognition dispatch instead of four of each. This is the serving
+    analog of the extension's batch-4 eager recognition
+    (background.ts:427-434). Trade-off vs the single-image engine path:
+    mixed-size batches share one pad-to-max + resize geometry (the
+    pipeline's semantics) instead of each image resizing independently
+    (detection.rs:148-171); same-size batches are equality-tested against
+    the engine (tests/test_parallel.py, tests/test_serve_train.py).
     """
 
     def __init__(
@@ -142,6 +146,14 @@ class BatchingOcrService:
         self._gate = threading.Event()  # tests clear this to force batching
         self._gate.set()
         self.batch_sizes: list[int] = []  # observability: per-batch sizes
+        # Execute one tiny computation on the constructing thread BEFORE
+        # starting the worker: on the axon-relayed TPU backend, the FIRST
+        # program execution must happen on the thread that initialized the
+        # client — a worker-thread first execution wedges the relay
+        # (measured: a bare jnp op in a fresh thread never returns).
+        import jax.numpy as jnp  # noqa: PLC0415 - backend warm-up
+
+        float(jnp.zeros((1,), jnp.float32).sum())
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -188,17 +200,16 @@ class BatchingOcrService:
                 batch.extend(extra)
             self.batch_sizes.append(len(batch))
             try:
-                inputs, all_lines = [], []
-                for img, _ in batch:
-                    inp = self._engine.prepare_input(
+                inputs = [
+                    self._engine.prepare_input(
                         ImageSource.from_tensor(img, DimOrder.HWC)
                     )
-                    words = self._engine.detect_words(inp)
-                    lines = self._engine.find_text_lines(inp, words)
-                    inputs.append(inp)
-                    all_lines.append(lines)
-                # Pad pages into one stack; line coords are page-local, and
-                # the BLACK padding is outside every line polygon.
+                    for img, _ in batch
+                ]
+                # Pad pages into one stack (detected word/line coords are
+                # page-local; BLACK padding is outside every glyph) and run
+                # the full pipeline: one detect forward, batched layout,
+                # pooled recognition.
                 h_max = max(i.image.shape[1] for i in inputs)
                 w_max = max(i.image.shape[2] for i in inputs)
                 stack = jnp.stack(
@@ -214,9 +225,9 @@ class BatchingOcrService:
                         for i in inputs
                     ]
                 )
-                texts = self._pipeline._recognize_pooled(stack, all_lines)
-                for (_, fut), text_lines in zip(batch, texts):
-                    fut.set_result(text_lines)
+                pages = self._pipeline.process_normalized(stack)
+                for (_, fut), page in zip(batch, pages):
+                    fut.set_result(page.text_lines)
             except Exception as exc:  # noqa: BLE001 - fail the whole batch
                 for _, fut in batch:
                     if not fut.done():

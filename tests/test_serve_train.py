@@ -196,6 +196,16 @@ def test_batching_service_shares_recognition_batches():
     )
     service._gate.clear()  # hold the worker so all submissions coalesce
 
+    # Count detection dispatches: the gated batch of 4 must share ONE
+    # padded detection forward (extension batching analog,
+    # background.ts:427-434), not run detection per request.
+    detect_calls = []
+    inner_detect = service._pipeline._detect_tables
+    service._pipeline._detect_tables = lambda pages: (
+        detect_calls.append(int(pages.shape[0])),
+        inner_detect(pages),
+    )[1]
+
     imgs = []
     for k in range(4):
         img = np.zeros((100, 200, 3), dtype=np.float32)
@@ -209,6 +219,7 @@ def test_batching_service_shares_recognition_batches():
     results = [f.result(timeout=300) for f in futs]
 
     assert max(service.batch_sizes) == 4  # one shared batch, not 4 singles
+    assert detect_calls == [4]  # ONE detect dispatch for the whole batch
     for img, text_lines in zip(imgs, results):
         session = OcrSession(engine)
         session.load_image(img)
