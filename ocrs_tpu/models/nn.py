@@ -153,11 +153,11 @@ def bigru_init(key, cin: int, hidden: int) -> dict:
 def bigru_apply(params: dict, x: jax.Array) -> jax.Array:
     """Bidirectional GRU: concatenated forward/backward states [N, T, 2H].
 
-    With OCRS_TPU_PALLAS_GRU=1 the fused Pallas sequence kernel replaces the lax.scan
-    (weights pinned in VMEM across the whole sequence; one grid step per
-    timestep) — see ocrs_tpu.ops.gru_pallas. The scan path remains the
-    reference/fallback and the training path (the Pallas kernel is
-    forward-only)."""
+    On TPU backends the fused Pallas sequence kernel replaces the lax.scan
+    by default (recurrent weights pinned in VMEM across the whole sequence;
+    one fused [H, 3H] MXU op per timestep — 1.5x faster than scan, see
+    ocrs_tpu.ops.gru_pallas; OCRS_TPU_NO_PALLAS_GRU=1 opts out). The scan
+    path remains the reference/fallback and the training backward path."""
     from ..ops.gru_pallas import gru_apply_pallas, pallas_available
 
     apply = gru_apply_pallas if pallas_available() else gru_apply
