@@ -267,6 +267,14 @@ class Style:
     jpeg_quality: Optional[int]
     contrast: float  # post-hoc contrast multiplier
     brightness: float  # post-hoc brightness shift
+    # Pixel-art / bitmap-font regime (round 3: the independent eval's
+    # held-out pixel face scored F1 0.10 — aliased blocky glyphs were
+    # entirely outside the training distribution). pixelate=k renders
+    # normally then box-downsamples by k and nearest-upsamples back:
+    # hard-edged, staircased glyphs like low-res screenshots and pixel
+    # fonts. binarize snaps the page to 2 levels (no antialiasing at all).
+    pixelate: int = 0
+    binarize: bool = False
 
 
 def sample_style(rng: np.random.Generator, hard: bool = False) -> Style:
@@ -302,6 +310,8 @@ def sample_style(rng: np.random.Generator, hard: bool = False) -> Style:
         jpeg_quality=int(rng.integers(35, 92)) if rng.random() < 0.25 else None,
         contrast=float(rng.uniform(0.85, 1.1)),
         brightness=float(rng.uniform(-0.05, 0.05)),
+        pixelate=int(rng.integers(2, 4)) if rng.random() < 0.12 else 0,
+        binarize=rng.random() < 0.08,
     )
 
 
@@ -310,6 +320,18 @@ def degrade(arr01: np.ndarray, rng: np.random.Generator, style: Style) -> np.nda
     from PIL import Image, ImageFilter
 
     out = arr01
+    if style.pixelate >= 2:
+        img = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
+        small = img.resize(
+            (max(1, img.width // style.pixelate), max(1, img.height // style.pixelate)),
+            Image.BOX,
+        )
+        img = small.resize((img.width, img.height), Image.NEAREST)
+        out = np.asarray(img, np.float32) / 255.0
+    if style.binarize:
+        mid = (style.bg + style.fg) / 2.0
+        lo, hi = min(style.bg, style.fg), max(style.bg, style.fg)
+        out = np.where(out < mid, lo, hi).astype(np.float32)
     if style.blur_sigma > 0.05 or style.jpeg_quality is not None:
         img = Image.fromarray((np.clip(out, 0, 1) * 255).astype(np.uint8))
         if style.blur_sigma > 0.05:
@@ -485,6 +507,20 @@ def render_recognition_sample(
         kept = [WordBox("a", (float(bb[1]), float(bb[0]), float(bb[3]), float(bb[2])))]
         texts = ["a"]
 
+    if rng.random() < 0.12:
+        # Table-cell border hugging the line (round 3): the recognizer must
+        # not decode border strokes at the crop edges as "|" / "[" glyphs.
+        bt = min(wb.box[0] for wb in kept)
+        bl = min(wb.box[1] for wb in kept)
+        bb_ = max(wb.box[2] for wb in kept)
+        br_ = max(wb.box[3] for wb in kept)
+        m = float(rng.integers(2, 12))
+        draw.rectangle(
+            [bl - m, bt - m, br_ + m, bb_ + m],
+            outline=int(round(style.fg * 255)),
+            width=int(rng.integers(1, 4)),
+        )
+
     page = degrade(np.asarray(img, np.float32) / 255.0, rng, style) + BLACK_VALUE
 
     # Detection-style rects: at inference these come from the detector mask,
@@ -573,22 +609,61 @@ def _page_size(rng: np.random.Generator) -> tuple[int, int]:
 
 def _draw_distractors(draw, rng: np.random.Generator, style: Style, w: int, h: int):
     """Non-text graphics the detector must learn to ignore: rules, underline
-    bars, boxes, filled panels."""
+    bars, boxes, filled panels, plot-like curves, arrows.
+
+    Curves and arrows added in round 3: the independent matplotlib-figure
+    eval showed sine curves being detected and 'recognized' as text
+    (spurious words like "\\/\\"), and annotation arrows splitting words."""
     n = int(rng.integers(0, 5))
     for _ in range(n):
         kind = rng.random()
         level = int(round(float(np.clip(style.fg + rng.uniform(-0.3, 0.3), 0, 1)) * 255))
-        if kind < 0.4:  # horizontal rule / underline bar
+        if kind < 0.3:  # horizontal rule / underline bar
             y = int(rng.integers(0, h))
             x0 = int(rng.integers(0, max(w - 60, 1)))
             x1 = x0 + int(rng.integers(40, max(min(w - x0, 600), 41)))
             draw.rectangle([x0, y, x1, y + int(rng.integers(2, 14))], fill=level)
-        elif kind < 0.6:  # vertical rule
+        elif kind < 0.45:  # vertical rule
             x = int(rng.integers(0, w))
             y0 = int(rng.integers(0, max(h - 60, 1)))
             y1 = y0 + int(rng.integers(40, max(min(h - y0, 600), 41)))
             draw.rectangle([x, y0, x + int(rng.integers(1, 8)), y1], fill=level)
-        elif kind < 0.8:  # outline box
+        elif kind < 0.62:  # smooth plot-like curve
+            x0 = int(rng.integers(0, max(w - 200, 1)))
+            span = int(rng.integers(150, max(min(w - x0, 900), 151)))
+            yc = float(rng.integers(0, h))
+            amp = float(rng.uniform(10, 160))
+            freq = float(rng.uniform(1.0, 4.0)) * 2 * np.pi / span
+            phase = float(rng.uniform(0, 2 * np.pi))
+            xs = np.arange(x0, x0 + span, 3)
+            ys = yc + amp * np.sin(freq * (xs - x0) + phase)
+            draw.line(
+                [(int(x), int(np.clip(y, 0, h - 1))) for x, y in zip(xs, ys)],
+                fill=level,
+                width=int(rng.integers(2, 5)),
+                joint="curve",
+            )
+        elif kind < 0.74:  # diagonal segment / annotation arrow
+            x0 = int(rng.integers(0, w))
+            y0 = int(rng.integers(0, h))
+            x1 = int(np.clip(x0 + rng.integers(-400, 400), 0, w - 1))
+            y1 = int(np.clip(y0 + rng.integers(-300, 300), 0, h - 1))
+            draw.line([(x0, y0), (x1, y1)], fill=level, width=int(rng.integers(1, 4)))
+            if rng.random() < 0.6:  # arrow head
+                ang = np.arctan2(y1 - y0, x1 - x0)
+                for da in (0.5, -0.5):
+                    draw.line(
+                        [
+                            (x1, y1),
+                            (
+                                int(x1 - 12 * np.cos(ang + da)),
+                                int(y1 - 12 * np.sin(ang + da)),
+                            ),
+                        ],
+                        fill=level,
+                        width=int(rng.integers(1, 4)),
+                    )
+        elif kind < 0.87:  # outline box
             x0 = int(rng.integers(0, max(w - 80, 1)))
             y0 = int(rng.integers(0, max(h - 60, 1)))
             draw.rectangle(
@@ -664,6 +739,22 @@ def render_native_page(
                     superscript_prob=0.08 if not is_heading else 0.0,
                 )
                 words_out.extend((b.text, b.box) for b in boxes)
+                if boxes and rng.random() < 0.12:
+                    # Snug table-cell border around the line (round 3: the
+                    # independent table-figure eval glued cell rules into
+                    # words — "metric" read as "metric|"). The border is
+                    # unlabeled graphics hugging real text.
+                    bt = min(b.box[0] for b in boxes)
+                    bl = min(b.box[1] for b in boxes)
+                    bb = max(b.box[2] for b in boxes)
+                    br_ = max(b.box[3] for b in boxes)
+                    m = float(rng.integers(3, 14))
+                    lvl = int(round(style.fg * 255))
+                    draw.rectangle(
+                        [bl - m, bt - m, br_ + m, bb + m],
+                        outline=lvl,
+                        width=int(rng.integers(1, 4)),
+                    )
                 y += line_step
             y += f_size * float(rng.uniform(0.5, 1.6))  # block gap
             if y + body_size * 1.6 > h - 8:

@@ -179,8 +179,17 @@ def init_detection_state(
     mesh: Mesh,
     optimizer: optax.GradientTransformation,
     seed: int = 0,
+    init_params=None,
 ) -> TrainState:
+    """``init_params``: optional checkpoint pytree for warm-started
+    fine-tuning (tree structure must match the fresh init)."""
     params = detection_net.init_params(jax.random.key(seed))
+    if init_params is not None:
+        ref = jax.tree.structure(params)
+        given = jax.tree.structure(init_params)
+        if ref != given:
+            raise ValueError(f"init_params tree mismatch: expected {ref}, got {given}")
+        params = jax.tree.map(lambda _, p: jnp.asarray(p), params, init_params)
     params = jax.tree.map(lambda p: jax.device_put(p, replicated(mesh)), params)
     opt_state = optimizer.init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))

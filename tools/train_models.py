@@ -205,8 +205,15 @@ def train_detection(args) -> None:
     )
     step_fn = make_detection_train_step(mesh, optimizer)
 
+    init_params = None
+    if args.init_from:
+        from ocrs_tpu.models.weights import load_params
+
+        init_params, _ = load_params(args.init_from)
+        print(f"warm start from {args.init_from}", flush=True)
+
     with mesh:
-        state = init_detection_state(mesh, optimizer)
+        state = init_detection_state(mesh, optimizer, init_params=init_params)
         # u8 batches: images/masks upload raw and normalize on device (the
         # float32 batch would cost ~0.75s/step over the 40MB/s relay).
         batches = ds.batches(args.batch, seed=args.data_seed + 1, as_u8=True)
