@@ -351,13 +351,22 @@ class DetectionDataset:
         seed: int = 0,
         cache_path: Optional[str | Path] = None,
         log_every: int = 0,
+        extra_caches: Optional[list[str | Path]] = None,
     ):
         self.page_hw = tuple(page_hw)
         if cache_path is not None and Path(cache_path).exists():
             data = np.load(cache_path)
             self._images = data["images"]
             self._masks_packed = data["masks"]
+            # Distribution mixing for fine-tuning (same rationale as the
+            # recognition dataset's extra_caches).
+            for extra in extra_caches or []:
+                d = np.load(extra)
+                self._images = np.concatenate([self._images, d["images"]])
+                self._masks_packed = np.concatenate([self._masks_packed, d["masks"]])
             return
+        if extra_caches:
+            raise ValueError("extra_caches requires an existing cache_path")
         rng = np.random.default_rng(seed)
         h, w = self.page_hw
         images = np.zeros((n_samples, h, w), np.uint8)

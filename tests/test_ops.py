@@ -285,6 +285,24 @@ def test_beam_batch_native_matches_python_oracle():
         assert pairs[i][1].tolist() == [s.label for s in got[i]]
 
 
+def test_beam_topk_python_fallback_matches_native(monkeypatch):
+    """With the native library unavailable, beam_decode_topk reconstructs a
+    sparse full matrix and runs the Python beam — same answers."""
+    from ocrs_tpu import native
+    from ocrs_tpu.ops.ctc import beam_decode_topk, beam_topk
+
+    rng = np.random.default_rng(3)
+    n, t, c = 4, 20, 9
+    logits = rng.normal(size=(n, t, c)).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    vals, idx = map(np.asarray, beam_topk(jnp.asarray(lp), k=8))
+    want = beam_decode_topk(vals, idx, 4, c)
+    monkeypatch.setattr(native, "ctc_beam_topk", lambda *a, **k: None)
+    got = beam_decode_topk(vals, idx, 4, c)
+    for i in range(n):
+        assert [(s.pos, s.label) for s in got[i]] == [(s.pos, s.label) for s in want[i]]
+
+
 def test_beam_topk_device_path_matches_oracle():
     """Device lax.top_k readback -> C++ beam == Python oracle on the full
     matrix (the oracle's own per-frame pruning makes top-k exact)."""

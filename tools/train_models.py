@@ -192,7 +192,7 @@ def train_detection(args) -> None:
     t0 = time.time()
     ds = DetectionDataset(
         args.samples, page_hw=DEFAULT_INPUT_HW, seed=args.data_seed, cache_path=cache,
-        log_every=500,
+        log_every=500, extra_caches=args.extra_cache or None,
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} pages)", flush=True)
 
