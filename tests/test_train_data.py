@@ -25,6 +25,45 @@ def test_render_line_shape_and_range():
     assert (line < 0.0).sum() > 20
 
 
+def test_degrade_pixelate_and_binarize():
+    """Round-3 bitmap-font regime: pixelate produces constant kxk blocks,
+    binarize collapses the page to exactly two gray levels."""
+    from ocrs_tpu.train.render import Style, degrade
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0.2, 0.8, size=(64, 96)).astype(np.float32)
+    mk = lambda **kw: Style(
+        font_path="", bg=0.9, fg=0.1, alt_fg=None, alt_fg_prob=0.0,
+        blur_sigma=0.0, noise_sigma=0.0, jpeg_quality=None,
+        contrast=1.0, brightness=0.0, **kw,
+    )
+    pix = degrade(base, rng, mk(pixelate=2))
+    blocks = pix.reshape(32, 2, 48, 2)
+    assert np.allclose(blocks, blocks[:, :1, :, :1], atol=1e-6)  # constant 2x2
+    binr = degrade(base, rng, mk(binarize=True))
+    levels = np.unique(binr)
+    assert len(levels) == 2
+    np.testing.assert_allclose(levels, [0.1, 0.9], atol=1e-6)
+
+
+def test_native_page_has_unlabeled_graphics():
+    """Distractor graphics (curves/borders/rules) must darken pixels outside
+    every labeled word box on at least some pages, and never add labels."""
+    from ocrs_tpu.train.render import render_native_page
+
+    rng = np.random.default_rng(5)
+    found_outside_ink = False
+    for _ in range(8):
+        page, words = render_native_page(rng, page_hw=(400, 600))
+        mask = np.zeros(page.shape, bool)
+        for _, (t, l, b, r) in words:
+            mask[max(int(t) - 2, 0) : int(b) + 3, max(int(l) - 2, 0) : int(r) + 3] = True
+        outside = page[~mask]
+        if outside.size and (np.abs(outside - np.median(outside)) > 0.2).sum() > 50:
+            found_outside_ink = True
+    assert found_outside_ink
+
+
 def test_labels_for():
     labs = labels_for("0a", DEFAULT_ALPHABET)
     assert labs == [DEFAULT_ALPHABET.index("0") + 1, DEFAULT_ALPHABET.index("a") + 1]
