@@ -741,6 +741,10 @@ void oc_ctc_beam(const float* vals, const int32_t* idx, int N, int T, int K,
         }
       }
 
+      // Degenerate frame (every candidate -inf, e.g. all classes excluded):
+      // keep the current beams rather than emptying the set.
+      if (next.empty()) continue;
+
       // Stable prune to width W by total probability (descending).
       if ((int)next.size() > W) {
         order.resize(next.size());
