@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Start the HTTP serving API on PORT instead of processing an "
         "image (see ocrs_tpu.serve; the js/ client targets this)",
     )
+    p.add_argument(
+        "--deskew",
+        action="store_true",
+        help="Deskew rotated text lines before recognition (TPU-native "
+        "affine line warp; no reference counterpart)",
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -210,6 +216,7 @@ def main(argv=None) -> int:
             decode_method=BeamSearch(width=100) if args.beam else Greedy(),
             alphabet=args.alphabet,
             allowed_chars=args.allowed_chars,
+            deskew=args.deskew,
         )
     )
 

@@ -71,6 +71,14 @@ class OcrEngineParams:
     #: reference's multiples-of-50 behaviour.
     recognition_width_bucket: Optional[Callable[[int], int]] = None
     max_lines_per_batch: int = 20
+    #: Deskew text lines before recognition: crop along each line's min-area
+    #: ROTATED rect (batched affine warp on device,
+    #: ops.warp.extract_line_batch_rotated) so slanted text reaches the
+    #: recognizer upright. The reference can only crop axis-aligned boxes
+    #: (recognition.rs:91-126), so rotated pages degrade there; this is a
+    #: TPU-native capability with no reference counterpart. Char rects are
+    #: the bounding boxes of the slanted char slices.
+    deskew: bool = False
 
 
 class OcrInput:
@@ -103,6 +111,7 @@ class OcrEngine:
                 width_bucket=params.recognition_width_bucket
                 or recognition_single_bucket,
                 max_lines_per_batch=params.max_lines_per_batch,
+                deskew=params.deskew,
             )
             if params.recognition_model is not None
             else None

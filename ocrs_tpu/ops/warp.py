@@ -102,6 +102,86 @@ def extract_line_batch(
     )
 
 
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def extract_line_batch_rotated(
+    page: jax.Array,  # [H, W] or [P, H, W] normalized greyscale page(s)
+    geom: jax.Array,  # [10, N] f32: ox, oy, rx, ry, dx, dy, w, h, rwidth, page
+    *,
+    out_h: int,
+    out_w: int,
+) -> jax.Array:
+    """Deskewing line extraction: sample along a ROTATED rect's own axes so
+    slanted text lands axis-aligned in the crop -> [N, 1, out_h, out_w].
+
+    The reference (and :func:`extract_line_batch`) crops the axis-aligned
+    bounding box of the line polygon, so rotated text stays rotated inside
+    the crop and the recognizer sees slanted glyphs (recognition.rs:91-126
+    has no warp). This op is the capability the CPU design couldn't afford:
+    a full affine resample per line, batched on device.
+
+    Per line the geometry columns are: ``(ox, oy)`` the page coordinates of
+    the rect's top-left corner, ``(rx, ry)`` the unit axis along the text
+    direction, ``(dx, dy)`` the unit axis down the glyphs, ``(w, h)`` the
+    rect extents along those axes, ``rwidth`` the resized content width
+    (columns beyond it are BLACK padding), and the page index for stacks.
+    Output pixel (r, c) samples page position
+
+        (ox, oy) + lx * (rx, ry) + ly * (dx, dy),
+        lx = (c + 0.5) * w / rwidth - 0.5,   ly = (r + 0.5) * h / out_h - 0.5
+
+    (the same half-pixel bilinear law as the axis-aligned path). Samples
+    outside the page are BLACK. Unlike the axis-aligned path there is no
+    polygon band mask: the rotated rect itself is the tight region.
+
+    Cost note: the affine sample is a flat elementwise gather (4 taps per
+    output pixel) — heavier than the axis-aligned path's separable
+    row-gathers, which is why deskewing is opt-in rather than the default.
+    """
+    ox, oy, rx, ry, dx, dy, w, h, rwidth, pidx_f = (geom[i] for i in range(10))
+    ph, pw = page.shape[-2], page.shape[-1]
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)  # [out_h]
+    xs = jnp.arange(out_w, dtype=jnp.float32)  # [out_w]
+    lx = (xs[None, :] + 0.5) * (w[:, None] / jnp.maximum(rwidth[:, None], 1.0)) - 0.5
+    lx = jnp.clip(lx, 0.0, jnp.maximum(w[:, None] - 1.0, 0.0))  # [N, out_w]
+    ly = (ys[None, :] + 0.5) * (h[:, None] / out_h) - 0.5
+    ly = jnp.clip(ly, 0.0, jnp.maximum(h[:, None] - 1.0, 0.0))  # [N, out_h]
+
+    # Page sample positions [N, out_h, out_w].
+    px = ox[:, None, None] + lx[:, None, :] * rx[:, None, None] + ly[:, :, None] * dx[:, None, None]
+    py = oy[:, None, None] + lx[:, None, :] * ry[:, None, None] + ly[:, :, None] * dy[:, None, None]
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, pw - 1)
+    x1i = jnp.clip(x0i + 1, 0, pw - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, ph - 1)
+    y1i = jnp.clip(y0i + 1, 0, ph - 1)
+
+    flat = page.reshape(-1)
+    if page.ndim == 3:
+        base = (pidx_f.astype(jnp.int32) * (ph * pw))[:, None, None]
+    else:
+        base = 0
+    v00 = jnp.take(flat, base + y0i * pw + x0i)
+    v01 = jnp.take(flat, base + y0i * pw + x1i)
+    v10 = jnp.take(flat, base + y1i * pw + x0i)
+    v11 = jnp.take(flat, base + y1i * pw + x1i)
+    samples = (
+        v00 * (1.0 - fy) * (1.0 - fx)
+        + v01 * (1.0 - fy) * fx
+        + v10 * fy * (1.0 - fx)
+        + v11 * fy * fx
+    )
+
+    in_page = (px >= 0.0) & (px <= pw - 1.0) & (py >= 0.0) & (py <= ph - 1.0)
+    valid_col = xs[None, None, :] < rwidth[:, None, None]
+    out = jnp.where(in_page & valid_col, samples, BLACK_VALUE)
+    return out[:, None, :, :]
+
+
 def _extract_impl(
     page,
     tops,

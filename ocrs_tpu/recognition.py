@@ -138,6 +138,21 @@ def line_polygon(words: Sequence[RotatedRect]) -> np.ndarray:
     return np.floor(np.concatenate([top_pts, bot_pts])).astype(np.int64)
 
 
+def line_rotated_rect(words: Sequence[RotatedRect]) -> RotatedRect:
+    """Min-area rotated rect over a line's word corners, oriented so the
+    height axis points up (toward -y) — the deskewing counterpart of the
+    axis-aligned ``_line_rect``. For a straight line of axis-aligned words
+    this equals their union bounding rect; for a skewed line it follows the
+    text angle so :func:`ocrs_tpu.ops.warp.extract_line_batch_rotated` can
+    sample glyphs upright."""
+    from .geometry import min_area_rect
+
+    pts = np.concatenate([np.stack(w.corners()) for w in words])
+    r = min_area_rect(pts)
+    assert r is not None, "line has no words"
+    return r.orient_towards((0.0, -1.0))
+
+
 def line_polygons_batch(
     lines: Sequence[Sequence[RotatedRect]],
 ) -> tuple[list[np.ndarray], list[Rect]]:
@@ -450,6 +465,10 @@ class _RecLine:
     poly: np.ndarray  # (V, 2) int polygon
     rect: Rect  # integral bounding rect of the polygon
     resized_width: int
+    #: Deskew mode only: the line's min-area rotated rect. When set, the
+    #: crop samples along this rect's axes (ops.warp.extract_line_batch_rotated)
+    #: and char rects are mapped back through the rotation.
+    rrect: Optional[RotatedRect] = None
 
 
 @dataclass
@@ -473,12 +492,18 @@ class TextRecognizer:
         model: Model,
         width_bucket: Optional[Callable[[int], int]] = None,
         max_lines_per_batch: int = 20,
+        deskew: bool = False,
     ):
         self._model = model
         self._input_shape = model.input_shape()
         self._input_height = fixed_height_or(self._input_shape, default=50)
         self._bucket = width_bucket or ladder_bucket(TPU_WIDTH_LADDER)
         self._max_lines = max_lines_per_batch
+        #: Deskew mode (no reference counterpart): crop each line along its
+        #: min-area rotated rect so slanted text reaches the recognizer
+        #: upright (photographed/rotated pages). The reference's crops are
+        #: always axis-aligned (recognition.rs:91-126).
+        self._deskew = deskew
 
     @property
     def input_height(self) -> int:
@@ -537,6 +562,24 @@ class TextRecognizer:
                 float(poly[:, 1].max()),
                 float(poly[:, 0].max()),
             )
+            if self._deskew:
+                # Deskew mode: geometry follows the line's min-area rotated
+                # rect — both the crop sampling and the width law, so a
+                # slanted line's resized width reflects its true length, not
+                # its (taller, shorter) bounding box.
+                rrect = line_rotated_rect(words)
+                rec_lines.append(
+                    _RecLine(
+                        index=index,
+                        poly=poly,
+                        rect=rect,
+                        resized_width=resized_line_width(
+                            rrect.width, rrect.height, self._input_height
+                        ),
+                        rrect=rrect,
+                    )
+                )
+                continue
             lr = self._line_rect(words)
             rec_lines.append(
                 _RecLine(
@@ -644,6 +687,33 @@ class TextRecognizer:
     ) -> jax.Array:
         n = len(batch)
         n_pad = _pad_batch_size(n, self._max_lines)
+        if self._deskew:
+            from .ops.warp import extract_line_batch_rotated
+
+            geom = np.empty((10, n_pad), dtype=np.float32)
+            for col, rl in enumerate(batch):
+                rr = rl.rrect
+                right = rr.right_axis()
+                down = -rr.up
+                origin = (
+                    rr.center - right * (rr.width / 2.0) - down * (rr.height / 2.0)
+                )
+                geom[0:2, col] = origin
+                geom[2:4, col] = right
+                geom[4:6, col] = down
+                geom[6, col] = rr.width
+                geom[7, col] = rr.height
+                geom[8, col] = rl.resized_width
+                geom[9, col] = 0.0
+            geom[:, n:] = geom[:, n - 1 : n]
+            crops = extract_line_batch_rotated(
+                page,
+                jnp.asarray(geom),
+                out_h=self._input_height,
+                out_w=group_width,
+            )
+            logprobs = self.run(crops)
+            return logprobs[:n]
 
         # Two packed uploads (geometry + chains) instead of ~8 — each eager
         # upload pays a round-trip latency on relayed transports.
@@ -676,6 +746,62 @@ class TextRecognizer:
         return logprobs[:n]
 
 
+def _text_line_from_rotated_result(result: _LineResult, alphabet: str):
+    """Deskew-mode counterpart of the char-rect back-mapping: decoded step
+    positions advance along the ROTATED rect's width axis, and each char's
+    rect is the axis-aligned bounding box of its slanted slice (a char slice
+    of a rotated line is itself a rotated rect). Positions follow the same
+    downsample/x-scale/truncation law as the reference path."""
+    from .text_items import TextChar, TextLine
+
+    rr = result.line.rrect
+    x_scale = float(rr.width) / float(result.line.resized_width)
+    downsample = round(result.rec_input_len / result.ctc_input_len)
+
+    steps = result.steps
+    as_arrays = isinstance(steps, tuple)
+    if as_arrays:
+        pos_arr, label_arr = steps
+        if pos_arr.size == 0:
+            return None
+        pos = pos_arr.astype(np.float64) * downsample
+        labels = label_arr
+    elif not steps:
+        return None
+    else:
+        pos = np.array([s.pos for s in steps], dtype=np.float64) * downsample
+        labels = np.array([s.label for s in steps], dtype=np.int64)
+    end = np.concatenate([pos[1:], [float(result.line.resized_width)]])
+    start_lx = np.trunc(pos * x_scale)  # rect-local, along the width axis
+    end_lx = np.trunc(end * x_scale)
+    in_bounds = start_lx < rr.width
+    start_lx, end_lx = start_lx[in_bounds], np.minimum(end_lx[in_bounds], rr.width)
+    labels = np.asarray(labels)[in_bounds]
+
+    right = rr.right_axis()
+    down = -rr.up
+    origin = rr.center - right * (rr.width / 2.0) - down * (rr.height / 2.0)
+    # Corners of each char's slanted slice: origin + lx*right + ly*down for
+    # lx in {start, end}, ly in {0, h}.
+    lxs = np.stack([start_lx, end_lx], axis=1)  # (C, 2)
+    corners = (
+        origin[None, None, None, :]
+        + lxs[:, :, None, None] * right[None, None, None, :]
+        + np.array([0.0, rr.height])[None, None, :, None] * down[None, None, None, :]
+    )  # (C, 2, 2, 2) -> [char, lx, ly, xy]
+    xs = corners[..., 0].reshape(len(lxs), 4)
+    ys = corners[..., 1].reshape(len(lxs), 4)
+
+    n_alpha = len(alphabet)
+    chars = []
+    for i, label in enumerate(labels.tolist()):
+        label_idx = label - 1
+        ch = alphabet[label_idx] if 0 <= label_idx < n_alpha else "?"
+        rect = Rect.from_tlbr(ys[i].min(), xs[i].min(), ys[i].max(), xs[i].max())
+        chars.append(TextChar(char=ch, rect=rect))
+    return TextLine(chars) if chars else None
+
+
 def _text_lines_from_results(results: list[_LineResult], alphabet: str):
     """Build TextLines with per-char rects from decode results
     (recognition.rs:241-311)."""
@@ -683,6 +809,9 @@ def _text_lines_from_results(results: list[_LineResult], alphabet: str):
 
     out = []
     for result in results:
+        if result.line.rrect is not None:
+            out.append(_text_line_from_rotated_result(result, alphabet))
+            continue
         line_rect = result.line.rect
         x_scale = float(line_rect.width) / float(result.line.resized_width)
         downsample = round(result.rec_input_len / result.ctc_input_len)

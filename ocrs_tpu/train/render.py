@@ -212,15 +212,22 @@ def sample_word(rng: np.random.Generator, alphabet: str = DEFAULT_ALPHABET) -> s
         # decades/ordinals ("2000s", "20th"), capital-I words ("Islands"),
         # and mixed runs that force shape discrimination.
         kind = rng.random()
-        if kind < 0.3:
+        if kind < 0.28:
             w = f"{int(rng.integers(10, 210)) * 10}s"
-        elif kind < 0.5:
+        elif kind < 0.48:
             n = int(rng.integers(1, 31))
             suf = {1: "st", 2: "nd", 3: "rd"}.get(n % 10 if n not in (11, 12, 13) else 0, "th")
             w = f"{n}{suf}"
-        elif kind < 0.7:
+        elif kind < 0.62:
             base = _VOCAB[int(rng.integers(len(_VOCAB)))]
             w = ("I" if rng.random() < 0.6 else "l") + base
+        elif kind < 0.82:
+            # Single capital followed by a number ("A 2010 study"): the
+            # narrow gap after a 1-char word is the goldens' remaining
+            # missing-space class ("A2010"). The internal space survives
+            # into the line label, so CTC learns to emit it.
+            lead = "AIOX"[int(rng.integers(4))]
+            w = f"{lead} {int(rng.integers(10, 2100))}"
         else:
             pool = "O0oIl1"
             w = "".join(pool[int(rng.integers(len(pool)))] for _ in range(int(rng.integers(2, 6))))
