@@ -70,6 +70,23 @@ def test_labels_for():
     assert labels_for("ሴ", DEFAULT_ALPHABET) == []  # unknown dropped
 
 
+def test_sample_word_capital_number_pattern():
+    """The confusable branch emits "A 2010"-style compound tokens (single
+    capital, internal space, number) — the goldens' missing-space class.
+    The space must survive into the token so line labels carry it."""
+    import re
+
+    from ocrs_tpu.train.render import sample_word
+
+    rng = np.random.default_rng(5)
+    hits = 0
+    for _ in range(4000):
+        w = sample_word(rng)
+        if re.fullmatch(r"[AIOX] \d+\D{0,2}", w):
+            hits += 1
+    assert hits > 5, hits
+
+
 def test_recognition_batches_shapes():
     gen = recognition_batches(4, width=128, max_label_len=8, seed=1)
     images, labels, lengths = next(gen)
