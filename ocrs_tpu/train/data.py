@@ -154,6 +154,7 @@ class RecognitionDataset:
         cache_path: Optional[str | Path] = None,
         log_every: int = 0,
         extra_caches: Optional[list[str | Path]] = None,
+        render_kwargs: Optional[dict] = None,
     ):
         self.width = width
         self.alphabet = alphabet
@@ -185,7 +186,11 @@ class RecognitionDataset:
         for k in range(n_samples):
             budget = width if rng.random() < 0.7 else int(rng.integers(64, width + 1))
             crop, text = R.render_recognition_sample(
-                rng, width_budget=budget, alphabet=alphabet, max_chars=max_label_len
+                rng,
+                width_budget=budget,
+                alphabet=alphabet,
+                max_chars=max_label_len,
+                **(render_kwargs or {}),
             )
             crops_u8.append(
                 np.clip((crop - BLACK_VALUE) * 255.0, 0, 255).astype(np.uint8)

@@ -28,7 +28,7 @@ sampling those levels directly covers colored inputs exactly.
 from __future__ import annotations
 
 import io
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from functools import lru_cache
 from typing import Optional, Sequence
 
@@ -460,6 +460,7 @@ def render_recognition_sample(
     out_h: int = 64,
     alphabet: str = DEFAULT_ALPHABET,
     max_chars: int = 40,
+    blockify_prob: float = 0.10,
 ) -> tuple[np.ndarray, str]:
     """One (crop [out_h, <=width_budget] float normalized, text) pair through
     the pipeline-exact crop transform.
@@ -469,6 +470,15 @@ def render_recognition_sample(
     plus jitter), line polygon, polygon-masked copy with BLACK outside,
     aspect resize to the recognizer height (recognition.rs:91-126 semantics
     via prepare_text_line_host).
+
+    ``blockify_prob``: fraction of samples rendered in the bitmap-font
+    regime — text is rasterized at a TINY size (8-14 px, where TrueType
+    hinting collapses strokes to 1-px runs), snapped to two levels, and
+    nearest-upscaled 3-6x. Unlike the page-level ``pixelate`` degradation
+    (which staircases smooth large glyphs), this reproduces pixel-font
+    GLYPH GEOMETRY: coarse quantized letterforms with hard edges, the
+    regime where the held-out pixel face of tools/eval_independent.py sat
+    entirely outside the round-2 training distribution.
     """
     from PIL import Image, ImageDraw
 
@@ -476,7 +486,16 @@ def render_recognition_sample(
     from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
 
     style = sample_style(rng, hard=rng.random() < 0.15)
-    font_size = int(rng.integers(9, 80))
+    blockify = 0
+    if rng.random() < blockify_prob:
+        blockify = int(rng.integers(3, 7))
+        # Tiny rasterization + no alternate ink: the two-level snap below
+        # would put mid-contrast alt words on the wrong side and erase them
+        # (labels must stay faithful to the pixels).
+        style = replace(style, alt_fg=None, pixelate=0, blur_sigma=0.0, binarize=False)
+        font_size = int(rng.integers(8, 15))
+    else:
+        font_size = int(rng.integers(9, 80))
     font = get_font(style.font_path, font_size)
     canvas_h = font_size * 3 + 24
     canvas_w = 3400
@@ -528,7 +547,22 @@ def render_recognition_sample(
             width=int(rng.integers(1, 4)),
         )
 
-    page = degrade(np.asarray(img, np.float32) / 255.0, rng, style) + BLACK_VALUE
+    arr01 = np.asarray(img, np.float32) / 255.0
+    if blockify:
+        # Trim dead canvas right of the drawn words before the k^2 upscale
+        # (the full 3400-px canvas blown up 6x would be ~25 MB per sample).
+        max_r = int(max(wb.box[3] for wb in kept)) + 24
+        arr01 = arr01[:, : min(arr01.shape[1], max_r)]
+        # Two-level snap (bitmap fonts have no antialiasing), then
+        # nearest-upscale: every glyph pixel becomes a k x k block.
+        mid = (style.bg + style.fg) / 2.0
+        lo, hi = min(style.bg, style.fg), max(style.bg, style.fg)
+        arr01 = np.where(arr01 < mid, lo, hi).astype(np.float32)
+        arr01 = np.repeat(np.repeat(arr01, blockify, axis=0), blockify, axis=1)
+        kept = [
+            WordBox(wb.text, tuple(v * blockify for v in wb.box)) for wb in kept
+        ]
+    page = degrade(arr01, rng, style) + BLACK_VALUE
 
     # Detection-style rects: at inference these come from the detector mask,
     # expanded 3 px per side at MODEL resolution — in page coordinates that

@@ -46,6 +46,31 @@ def test_degrade_pixelate_and_binarize():
     np.testing.assert_allclose(levels, [0.1, 0.9], atol=1e-6)
 
 
+def test_render_blockify_bitmap_font_regime():
+    """blockify renders tiny type, snaps to 2 levels, and nearest-upscales:
+    before the pipeline resize the canvas must be exactly two gray levels in
+    k x k blocks (pixel-font glyph geometry, not smoothed large glyphs).
+    After the aspect resize to height 64 the crop must still be a valid
+    sample with readable label text."""
+    from ocrs_tpu.train.render import render_recognition_sample
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        crop, text = render_recognition_sample(
+            rng, width_budget=768, blockify_prob=1.0
+        )
+        assert crop.shape[0] == 64 and 10 <= crop.shape[1] <= 768
+        assert text.strip()
+        assert crop.min() >= BLACK_VALUE - 1e-5
+        assert crop.max() <= BLACK_VALUE + 1.0 + 1e-5
+    # blockify_prob=0 must leave the regular path untouched (seeded draw
+    # count changes only behind the branch).
+    crop, text = render_recognition_sample(
+        np.random.default_rng(5), width_budget=512, blockify_prob=0.0
+    )
+    assert crop.shape[0] == 64 and text.strip()
+
+
 def test_native_page_has_unlabeled_graphics():
     """Distractor graphics (curves/borders/rules) must darken pixels outside
     every labeled word box on at least some pages, and never add labels."""
