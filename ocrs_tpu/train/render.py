@@ -397,6 +397,17 @@ class WordBox:
     box: tuple[float, float, float, float]
 
 
+# Glyphs real pages carry that are NOT in the engine alphabet. The reference
+# model emits nothing for them (its why-rust golden drops the em dash in
+# "thread-safety — enabling", /root/reference/ocrs-cli/test-data/
+# why-rust.expected.txt); round-2 weights had never seen one and read "=~".
+# Rendered between words, excluded from the label: CTC learns to skip.
+_SKIP_GLYPHS = ["—", "–", "•", "·", "…", "°", "§", "†", "»", "«"]
+# Typographic punctuation rendered curly but labeled ASCII (the mapping the
+# reference's HierText-trained model exhibits: "Rust's" → "Rust's").
+_CURLY = {"'": "’", '"': "“"}
+
+
 def draw_line_of_words(
     draw,
     rng: np.random.Generator,
@@ -408,25 +419,32 @@ def draw_line_of_words(
     max_words: int,
     alphabet: str = DEFAULT_ALPHABET,
     superscript_prob: float = 0.12,
+    skip_glyph_prob: float = 0.07,
 ) -> list[WordBox]:
     """Draw words left-to-right from (x, y=baseline-top) until ``max_x``.
 
     Returns the word boxes (tight text bboxes). Occasionally appends a
     raised, smaller citation cluster (superscript) to a word, mirroring
-    wiki-style references.
+    wiki-style references. With ``skip_glyph_prob`` per gap, draws a
+    standalone out-of-alphabet glyph (em dash, bullet, ...) that is absorbed
+    into the PREVIOUS word's box (so the line polygon covers it) but not its
+    label — the recognizer learns to emit nothing for it.
     """
     font_size = font.size
     boxes: list[WordBox] = []
     sup_font = None
     for _ in range(max_words):
         word = sample_word(rng, alphabet)
-        x0, y0, x1, y1 = draw.textbbox((x, y), word, font=font)
+        render_word = word
+        if "'" in word and rng.random() < 0.35:
+            render_word = render_word.replace("'", _CURLY["'"])
+        x0, y0, x1, y1 = draw.textbbox((x, y), render_word, font=font)
         if x1 > max_x:
             break
         fg = style.fg
         if style.alt_fg is not None and rng.random() < style.alt_fg_prob:
             fg = style.alt_fg
-        draw.text((x, y), word, font=font, fill=int(round(fg * 255)))
+        draw.text((x, y), render_word, font=font, fill=int(round(fg * 255)))
         box = (float(y0), float(x0), float(y1), float(x1))
         text = word
         if rng.random() < superscript_prob:
@@ -446,6 +464,12 @@ def draw_line_of_words(
         # resize under natural aspect) tight gaps are where the shipped
         # weights dropped inter-word spaces ("apopulation", "ofbrown").
         x = box[3] + float(rng.uniform(0.18, 0.85)) * font_size
+        if rng.random() < skip_glyph_prob:
+            g = _SKIP_GLYPHS[int(rng.integers(len(_SKIP_GLYPHS)))]
+            gx0, _, gx1, _ = draw.textbbox((x, y), g, font=font)
+            if gx1 <= max_x and gx1 > gx0:
+                draw.text((x, y), g, font=font, fill=int(round(fg * 255)))
+                x = gx1 + float(rng.uniform(0.25, 0.85)) * font_size
     return boxes
 
 

@@ -161,3 +161,41 @@ def test_recognition_training_reduces_loss():
             state, loss = step(state, *batch)
             first = float(loss) if first is None else first
         assert float(loss) < first
+
+
+def test_skip_glyphs_drawn_but_unlabeled():
+    """Out-of-alphabet glyphs (em dash, bullet, ...) are rendered between
+    words but never reach the label: the recognizer trains to emit nothing
+    for them (the reference's why-rust golden drops the em dash in
+    "thread-safety — enabling")."""
+    from PIL import Image, ImageDraw
+
+    from ocrs_tpu.train.render import (
+        DEFAULT_ALPHABET as ALPH,
+        draw_line_of_words,
+        get_font,
+        sample_style,
+    )
+
+    rng = np.random.default_rng(11)
+    style = sample_style(rng)
+    font = get_font(style.font_path, 28)
+    img = Image.new("L", (1600, 90), int(round(style.bg * 255)))
+    draw = ImageDraw.Draw(img)
+    boxes = draw_line_of_words(
+        draw, rng, style, font, x=10.0, y=20.0, max_x=1580.0, max_words=6,
+        superscript_prob=0.0, skip_glyph_prob=1.0,
+    )
+    assert len(boxes) >= 2
+    for wb in boxes:
+        assert all(c in ALPH for c in wb.text), wb.text
+    # Ink must exist in at least one inter-word gap (the drawn skip glyph).
+    arr = np.asarray(img, np.float32) / 255.0
+    ink = abs(arr - style.bg) > abs(style.fg - style.bg) * 0.5
+    gap_ink = 0
+    for a, b in zip(boxes, boxes[1:]):
+        l = int(np.ceil(a.box[3])) + 2
+        r = int(b.box[1]) - 2
+        if r > l:
+            gap_ink += int(ink[:, l:r].sum())
+    assert gap_ink > 0

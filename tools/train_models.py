@@ -87,9 +87,13 @@ def train_recognition(args) -> None:
         cache_path=cache,
         log_every=5000,
         extra_caches=args.extra_cache or None,
+        render_kwargs={"blockify_prob": args.blockify_prob}
+        if args.blockify_prob is not None
+        else None,
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} lines)", flush=True)
-    #
+    if args.render_only:
+        return
 
     # Held-out validation set (different seed, streaming renderer).
     from ocrs_tpu.train.data import recognition_batches
@@ -195,6 +199,8 @@ def train_detection(args) -> None:
         log_every=500, extra_caches=args.extra_cache or None,
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} pages)", flush=True)
+    if args.render_only:
+        return
 
     mesh = make_mesh()
     schedule = optax.warmup_cosine_decay_schedule(
@@ -258,6 +264,18 @@ def main() -> None:
     parser.add_argument("--val-size", type=int, default=256)
     parser.add_argument("--val-every", type=int, default=2000)
     parser.add_argument("--data-seed", type=int, default=0)
+    parser.add_argument(
+        "--blockify-prob",
+        type=float,
+        default=None,
+        help="override the renderer's bitmap-font regime share when "
+        "rendering a fresh recognition cache (default: renderer's 0.10)",
+    )
+    parser.add_argument(
+        "--render-only",
+        action="store_true",
+        help="render/cache the dataset and exit without training",
+    )
     parser.add_argument("--cache", default=None, help="dataset cache .npz path")
     parser.add_argument(
         "--extra-cache",
