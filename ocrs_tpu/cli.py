@@ -113,6 +113,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Deskew rotated text lines before recognition (TPU-native "
         "affine line warp; no reference counterpart)",
     )
+    p.add_argument(
+        "--vertical-text",
+        action="store_true",
+        help="Read 90-degree-rotated text lines (e.g. chart y-axis labels): "
+        "layout assembles vertical word stacks and recognition decodes both "
+        "reading directions, keeping the higher-confidence one (no "
+        "reference counterpart)",
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -217,6 +225,7 @@ def main(argv=None) -> int:
             alphabet=args.alphabet,
             allowed_chars=args.allowed_chars,
             deskew=args.deskew,
+            vertical_text=args.vertical_text,
         )
     )
 

@@ -79,6 +79,12 @@ class OcrEngineParams:
     #: TPU-native capability with no reference counterpart. Char rects are
     #: the bounding boxes of the slanted char slices.
     deskew: bool = False
+    #: Vertical text (90°-rotated lines, e.g. a plot's y-axis label; no
+    #: reference counterpart). Layout assembles vertically stacked word
+    #: fragments into vertical lines (layout.merge_vertical_chains);
+    #: recognition crops them along the rotated rect in BOTH reading
+    #: directions and keeps the higher-confidence decode.
+    vertical_text: bool = False
 
 
 class OcrInput:
@@ -117,6 +123,7 @@ class OcrEngine:
             else None
         )
         self._debug = params.debug
+        self._vertical_text = params.vertical_text
         self._decode_method = params.decode_method
         self._alphabet = params.alphabet or DEFAULT_ALPHABET
         # Label i (>=1) maps to alphabet[i-1]; build the excluded-label list
@@ -151,7 +158,12 @@ class OcrEngine:
     ) -> list[list[RotatedRect]]:
         """Group words into reading-order lines (lib.rs:216-229)."""
         del input  # kept for API parity
-        return find_text_lines(words)
+        lines = find_text_lines(words)
+        if self._vertical_text:
+            from .layout import merge_vertical_chains
+
+            lines, _ = merge_vertical_chains(lines)
+        return lines
 
     def recognize_text(
         self, input: OcrInput, lines: Sequence[Sequence[RotatedRect]]
@@ -160,6 +172,11 @@ class OcrEngine:
         (lib.rs:231-254)."""
         if self._recognizer is None:
             raise ModelNotLoadedError("Recognition model not loaded")
+        vertical = None
+        if self._vertical_text:
+            from .layout import is_vertical_line
+
+            vertical = [is_vertical_line(ws) for ws in lines]
         return self._recognizer.recognize_text_lines(
             input.image,
             lines,
@@ -169,6 +186,7 @@ class OcrEngine:
                 alphabet=self._alphabet,
                 excluded_char_labels=self._excluded_char_labels,
             ),
+            vertical=vertical,
         )
 
     def prepare_recognition_input(

@@ -465,10 +465,14 @@ class _RecLine:
     poly: np.ndarray  # (V, 2) int polygon
     rect: Rect  # integral bounding rect of the polygon
     resized_width: int
-    #: Deskew mode only: the line's min-area rotated rect. When set, the
+    #: Deskew/vertical mode: the line's min-area rotated rect. When set, the
     #: crop samples along this rect's axes (ops.warp.extract_line_batch_rotated)
     #: and char rects are mapped back through the rotation.
     rrect: Optional[RotatedRect] = None
+    #: Vertical-text direction voting: 0 = bottom-up reading, 1 = top-down.
+    #: Both variants of one line share ``index``; the decode with the higher
+    #: mean per-frame confidence wins. -1 = not a voting variant.
+    variant: int = -1
 
 
 @dataclass
@@ -477,6 +481,9 @@ class _LineResult:
     rec_input_len: int
     ctc_input_len: int
     steps: list[CtcStep]
+    #: Mean over frames of the max log-probability (only populated for
+    #: direction-voting batches; 0.0 otherwise).
+    conf: float = 0.0
 
 
 #: Maximum vertices per padded polygon chain on device (= max words per line
@@ -540,6 +547,7 @@ class TextRecognizer:
         image: jax.Array,
         lines: Sequence[Sequence[RotatedRect]],
         opts: RecognitionOpt,
+        vertical: Optional[Sequence[bool]] = None,
     ):
         from .text_items import TextLine  # local import to avoid cycle
 
@@ -549,6 +557,32 @@ class TextRecognizer:
 
         rec_lines: list[_RecLine] = []
         for index, words in enumerate(lines):
+            if vertical is not None and vertical[index]:
+                # Vertical text (90°-rotated, e.g. a plot's y-axis label; no
+                # reference counterpart): crop along the stack's min-area
+                # rect in BOTH reading directions — bottom-up (glyph tops
+                # point left, the typographic convention) and top-down —
+                # and let decode confidence pick the winner.
+                from .geometry import min_area_rect
+
+                pts = np.concatenate([np.stack(w.corners()) for w in words])
+                mr = min_area_rect(pts)
+                assert mr is not None, "line has no words"
+                for variant, up in enumerate(((-1.0, 0.0), (1.0, 0.0))):
+                    rr = mr.orient_towards(up)
+                    rec_lines.append(
+                        _RecLine(
+                            index=index,
+                            poly=np.round(np.stack(rr.corners())).astype(np.int64),
+                            rect=rr.bounding_rect().integral_bounding_rect(),
+                            resized_width=resized_line_width(
+                                rr.width, rr.height, self._input_height
+                            ),
+                            rrect=rr,
+                            variant=variant,
+                        )
+                    )
+                continue
             poly = line_polygon(words)
             # The POLYGON's bounding rect is the coordinate base for the crop
             # and the char-rect back-mapping (recognition.rs:248-249 uses
@@ -596,18 +630,19 @@ class TextRecognizer:
         # of each batch is trimmed to the batch's own max resized width
         # (rounded to 128 for shape reuse): the bucket law groups lines; it
         # doesn't need to set the padded width.
-        groups: dict[int, list[_RecLine]] = {}
+        groups: dict[tuple[int, bool], list[_RecLine]] = {}
         for rl in rec_lines:
-            groups.setdefault(self._bucket(rl.resized_width), []).append(rl)
-        batches: list[tuple[int, list[_RecLine]]] = []
-        for width, group in groups.items():
+            key = (self._bucket(rl.resized_width), rl.rrect is not None)
+            groups.setdefault(key, []).append(rl)
+        batches: list[tuple[int, list[_RecLine], bool]] = []
+        for (width, rotated), group in groups.items():
             for i in range(0, len(group), self._max_lines):
                 chunk = group[i : i + self._max_lines]
                 w_eff = min(
                     width,
                     max(-(-max(rl.resized_width for rl in chunk) // 128) * 128, 128),
                 )
-                batches.append((w_eff, chunk))
+                batches.append((w_eff, chunk, rotated))
 
         alphabet_len = len(opts.alphabet)
         excluded = (
@@ -624,10 +659,10 @@ class TextRecognizer:
         # recognition.rs:464-467).
         greedy = isinstance(opts.decode_method, Greedy)
         inflight = []
-        for group_width, batch in batches:
+        for group_width, batch, rotated in batches:
             if opts.debug:
                 print(f"Processing group of {len(batch)} lines of width {group_width}")
-            logprobs = self._run_batch(page, batch, group_width)  # [N, T, C]
+            logprobs = self._run_batch(page, batch, group_width, rotated)  # [N, T, C]
             n_classes = logprobs.shape[-1]
             if alphabet_len + 1 != n_classes:
                 raise WrongOutputError(
@@ -651,14 +686,22 @@ class TextRecognizer:
                 out = beam_topk_packed(
                     logprobs, k=min(max(opts.decode_method.width, 8), n_classes)
                 )
+            # Direction-voting batches additionally read back a per-line
+            # confidence (mean over frames of the max log-prob) — [N] f32,
+            # negligible next to the labels copy.
+            conf_dev = None
+            if any(rl.variant >= 0 for rl in batch):
+                conf_dev = jnp.mean(jnp.max(logprobs, axis=-1), axis=1)
             try:
                 out.copy_to_host_async()
+                if conf_dev is not None:
+                    conf_dev.copy_to_host_async()
             except AttributeError:  # older jax Array without async copy
                 pass
-            inflight.append((group_width, batch, ctc_input_len, out))
+            inflight.append((group_width, batch, ctc_input_len, out, conf_dev))
 
         results: list[_LineResult] = []
-        for group_width, batch, ctc_input_len, out in inflight:
+        for group_width, batch, ctc_input_len, out, conf_dev in inflight:
             host = np.asarray(out)
             if greedy:
                 decoded = collapse_greedy_batch(host[: len(batch)])
@@ -668,26 +711,37 @@ class TextRecognizer:
                 decoded = beam_decode_topk(
                     vals, idx, opts.decode_method.width, n_classes
                 )
-            for rl, steps in zip(batch, decoded):
+            conf = (
+                np.asarray(conf_dev)[: len(batch)]
+                if conf_dev is not None
+                else np.zeros(len(batch), dtype=np.float32)
+            )
+            for rl, steps, c in zip(batch, decoded, conf):
                 results.append(
                     _LineResult(
                         line=rl,
                         rec_input_len=group_width,
                         ctc_input_len=ctc_input_len,
                         steps=steps,
+                        conf=float(c),
                     )
                 )
 
+        results = _pick_direction_variants(results)
         results.sort(key=lambda r: r.line.index)
         return _text_lines_from_results(results, opts.alphabet)
 
     # -- device batch extraction + model -------------------------------------
     def _run_batch(
-        self, page: jax.Array, batch: list[_RecLine], group_width: int
+        self,
+        page: jax.Array,
+        batch: list[_RecLine],
+        group_width: int,
+        rotated: bool = False,
     ) -> jax.Array:
         n = len(batch)
         n_pad = _pad_batch_size(n, self._max_lines)
-        if self._deskew:
+        if rotated:
             from .ops.warp import extract_line_batch_rotated
 
             geom = np.empty((10, n_pad), dtype=np.float32)
@@ -744,6 +798,38 @@ class TextRecognizer:
         )
         logprobs = self.run(crops)  # [n_pad, T, C]
         return logprobs[:n]
+
+
+def _pick_direction_variants(results: list[_LineResult]) -> list[_LineResult]:
+    """Resolve vertical-text direction voting: of the two reading-direction
+    variants sharing a line index, keep the decode with the higher mean
+    per-frame confidence. A variant that decodes at least 2 characters beats
+    an (near-)empty one regardless of confidence — an unreadable direction
+    often collapses to confident all-blank frames."""
+    if all(r.line.variant < 0 for r in results):
+        return results
+    by_index: dict[int, list[_LineResult]] = {}
+    out: list[_LineResult] = []
+    for r in results:
+        if r.line.variant < 0:
+            out.append(r)
+        else:
+            by_index.setdefault(r.line.index, []).append(r)
+
+    def n_steps(r: _LineResult) -> int:
+        s = r.steps
+        return int(s[0].size) if isinstance(s, tuple) else len(s)
+
+    for variants in by_index.values():
+        if len(variants) == 1:
+            out.append(variants[0])
+            continue
+        a, b = variants[:2]
+        if (n_steps(a) >= 2) != (n_steps(b) >= 2):
+            out.append(a if n_steps(a) >= 2 else b)
+        else:
+            out.append(a if a.conf >= b.conf else b)
+    return out
 
 
 def _text_line_from_rotated_result(result: _LineResult, alphabet: str):

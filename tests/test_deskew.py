@@ -182,3 +182,40 @@ def test_deskew_axis_aligned_matches_default():
         assert out[0] is not None
         texts.append(str(out[0]))
     assert texts[0] == texts[1]
+
+
+def test_pick_direction_variants():
+    """Direction voting: higher mean-confidence variant wins; a variant
+    decoding >=2 chars beats a near-empty one regardless of confidence."""
+    import numpy as np
+
+    from ocrs_tpu.geometry import Rect
+    from ocrs_tpu.recognition import _LineResult, _RecLine, _pick_direction_variants
+
+    def rl(index, variant):
+        return _RecLine(
+            index=index,
+            poly=np.zeros((4, 2), np.int64),
+            rect=Rect.from_tlbr(0, 0, 10, 10),
+            resized_width=100,
+            variant=variant,
+        )
+
+    def res(index, variant, labels, conf):
+        steps = (np.arange(len(labels), dtype=np.int32), np.array(labels, np.int32))
+        return _LineResult(rl(index, variant), 100, 25, steps, conf=conf)
+
+    picked = _pick_direction_variants(
+        [
+            res(0, 0, [5, 6, 7], conf=-0.2),   # readable direction
+            res(0, 1, [3, 9, 1], conf=-1.4),   # garbage, lower confidence
+            res(1, 0, [2], conf=-0.05),        # confident but near-empty
+            res(1, 1, [4, 4, 8], conf=-0.9),   # real decode wins
+            _LineResult(rl(2, -1), 100, 25, (np.array([0], np.int32), np.array([1], np.int32))),
+        ]
+    )
+    by_idx = {r.line.index: r for r in picked}
+    assert len(picked) == 3
+    assert by_idx[0].line.variant == 0
+    assert by_idx[1].line.variant == 1
+    assert by_idx[2].line.variant == -1

@@ -193,3 +193,42 @@ def test_native_full_layout_two_columns():
     got = [[tuple(words[i].center) for i in li] for li in idx]
     assert got == want
     assert len(idx) == 24
+
+
+def test_merge_vertical_chains():
+    """Stacked single-word lines (a fragmented 90°-rotated label) assemble
+    into one vertical line; ordinary horizontal lines pass through; a
+    loosely spaced digits column does not chain."""
+    from ocrs_tpu.geometry import RotatedRect
+    from ocrs_tpu.layout import is_vertical_line, merge_vertical_chains
+
+    def rect(cx, cy, w, h):
+        return RotatedRect(
+            center=np.array([cx, cy]), up=np.array([0.0, -1.0]), width=w, height=h
+        )
+
+    # A horizontal 3-word line.
+    horiz = [rect(40 + 30 * i, 200, 24, 14) for i in range(3)]
+    # A fragmented vertical label: 8 glyph blobs stacked at x=12,
+    # ~16px tall each with 4px gaps.
+    frags = [rect(12, 40 + 20 * i, 14, 16) for i in range(8)]
+    # A loose digits column: square blobs spaced 3x their size apart.
+    digits = [rect(300, 60 + 60 * i, 16, 16) for i in range(4)]
+
+    lines = [[w] for w in frags] + [horiz] + [[d] for d in digits]
+    out, vertical = merge_vertical_chains(lines)
+
+    v_lines = [ws for ws, v in zip(out, vertical) if v]
+    assert len(v_lines) == 1 and len(v_lines[0]) == 8
+    assert is_vertical_line(v_lines[0])
+    ids = [tuple(id(w) for w in ws) for ws in out]
+    k = ids.index(tuple(id(w) for w in horiz))
+    assert not vertical[k]
+    # The digits column survives as 4 separate non-vertical lines.
+    digit_ids = {id(d) for d in digits}
+    digit_lines = [
+        j for j, ws in enumerate(out) if len(ws) == 1 and id(ws[0]) in digit_ids
+    ]
+    assert len(digit_lines) == 4
+    for j in digit_lines:
+        assert not vertical[j]
