@@ -6,7 +6,7 @@ PYTHON ?= python
 # hang interpreter startup; tests force the CPU backend in tests/conftest.py.
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: all native test test-e2e bench lint clean
+.PHONY: all native test test-e2e test-e2e-real eval-independent bench lint clean
 
 all: native test
 
@@ -26,6 +26,12 @@ test-e2e: native
 # word-level F1 >= 0.8 (runs on the TPU when available).
 test-e2e-real: native
 	$(PYTHON) tools/test_e2e.py --real
+
+# Anti-circularity accuracy tier: pages rendered through paths the training
+# renderer never touches (matplotlib/Agg, pygame/SDL_ttf, held-out pixel
+# font), word F1 >= 0.85 overall (runs on the TPU when available).
+eval-independent: native
+	$(PYTHON) tools/eval_independent.py --min-f1 0.85
 
 update-golden:
 	$(CPU_ENV) $(PYTHON) tools/gen_golden.py
