@@ -787,3 +787,167 @@ void oc_ctc_beam(const float* vals, const int32_t* idx, int N, int T, int K,
 }
 
 }  // extern "C"
+
+// --- low-bandwidth transport kernels ---------------------------------------
+//
+// On hosts whose device link is slow (this environment's ~53 MB/s relay vs
+// PCIe), uploading full-resolution pages caps e2e throughput at ~6 pages/s
+// no matter how the compute overlaps (BENCH r03). These kernels reduce the
+// bytes that must cross the link to exactly what the device needs:
+//
+//   * oc_resize_pages: page -> detector-input resolution on host (the device
+//     would immediately resize to this anyway; detection.rs:131-142
+//     semantics via the same pad-then-half-pixel-bilinear law as
+//     ocrs_tpu.ops.resize). 8.7 MB/page u8 -> 0.49 MB.
+//   * oc_extract_lines: after layout, extract + resize each text line to the
+//     recognizer height on host from the full-res page that never left host
+//     RAM — uploading only [N, 64, width] u8 crops (same sampling law as
+//     ocrs_tpu.ops.warp._extract_impl; the polygon band mask stays on
+//     device, it needs only the tiny geometry arrays).
+//
+// Both can pack two 4-bit pixels per byte (pack4) for another 2x.
+
+namespace {
+
+// Precompute 2-tap half-pixel bilinear taps for one axis (the exact kernel
+// of ops/resize._interp_matrix: ONNX Resize half_pixel + edge clamp).
+inline void bilinear_taps(int in_size, int out_size, int32_t* i0, int32_t* i1,
+                          float* w1) {
+  for (int o = 0; o < out_size; o++) {
+    double src = (o + 0.5) * ((double)in_size / out_size) - 0.5;
+    double lo = std::floor(src);
+    double frac = src - lo;
+    int l = (int)lo;
+    i0[o] = std::min(std::max(l, 0), in_size - 1);
+    i1[o] = std::min(std::max(l + 1, 0), in_size - 1);
+    w1[o] = (float)frac;
+  }
+}
+
+inline void pack_row_4bit(const float* vals, int n, uint8_t* out) {
+  for (int x = 0; x < n; x += 2) {
+    int hi = (int)(vals[x] + 0.5f) >> 4;
+    int lo_v = (x + 1 < n) ? ((int)(vals[x + 1] + 0.5f) >> 4) : 0;
+    out[x >> 1] = (uint8_t)((hi << 4) | lo_v);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pages [B, H, W] u8 -> detector inputs [B, outH, outW] u8 (pack4: the last
+// axis is (outW+1)/2 packed bytes). Matches the pipeline's device path:
+// virtually pad bottom/right with 0 (u8 0 == normalized BLACK_VALUE) to at
+// least (outH, outW), then 2-tap half-pixel bilinear resize.
+void oc_resize_pages(const uint8_t* pages, int B, int H, int W, int outH,
+                     int outW, int pack4, uint8_t* out) {
+  int padH = std::max(H, outH);
+  int padW = std::max(W, outW);
+  std::vector<int32_t> y0(outH), y1(outH), x0(outW), x1(outW);
+  std::vector<float> wy(outH), wx(outW);
+  bilinear_taps(padH, outH, y0.data(), y1.data(), wy.data());
+  bilinear_taps(padW, outW, x0.data(), x1.data(), wx.data());
+  std::vector<float> row(padW), vert(outW);
+  int out_stride = pack4 ? (outW + 1) / 2 : outW;
+  std::vector<uint8_t> zero_row(W, 0);
+  for (int b = 0; b < B; b++) {
+    const uint8_t* page = pages + (size_t)b * H * W;
+    uint8_t* dst = out + (size_t)b * outH * out_stride;
+    for (int oy = 0; oy < outH; oy++) {
+      const uint8_t* r0 = y0[oy] < H ? page + (size_t)y0[oy] * W : zero_row.data();
+      const uint8_t* r1 = y1[oy] < H ? page + (size_t)y1[oy] * W : zero_row.data();
+      float fy = wy[oy];
+      // Vertical blend into a float row (padded cols beyond W read as 0).
+      for (int x = 0; x < W && x < padW; x++)
+        row[x] = (1.0f - fy) * r0[x] + fy * r1[x];
+      for (int x = W; x < padW; x++) row[x] = 0.0f;
+      for (int ox = 0; ox < outW; ox++)
+        vert[ox] = (1.0f - wx[ox]) * row[x0[ox]] + wx[ox] * row[x1[ox]];
+      if (pack4) {
+        pack_row_4bit(vert.data(), outW, dst + (size_t)oy * out_stride);
+      } else {
+        uint8_t* orow = dst + (size_t)oy * out_stride;
+        for (int ox = 0; ox < outW; ox++)
+          orow[ox] = (uint8_t)std::min(std::max((int)(vert[ox] + 0.5f), 0), 255);
+      }
+    }
+  }
+}
+
+// Text-line crops: pages [B, H, W] u8, geom [6, N] f32 (top, left, height,
+// width, resized_width, page_index — the exact layout
+// parallel/pipeline._run_pooled_batch packs), out [N, outH, outW] u8
+// (pack4: last axis (outW+1)/2). Sampling law mirrors
+// ops/warp._extract_impl: output (r, c) bilinearly samples page position
+//   y = top + clip((r+0.5)*h/outH - 0.5, 0, h-1)
+//   x = left + clip((c+0.5)*w/max(rw,1) - 0.5, 0, w-1)
+// with gather indices clipped to the page (the device-side band/in-page
+// mask blacks out-of-polygon pixels afterwards, identically to the
+// all-device path). Columns >= resized_width are 0 (BLACK padding).
+void oc_extract_lines(const uint8_t* pages, int B, int H, int W,
+                      const float* geom, int N, int outH, int outW, int pack4,
+                      uint8_t* out) {
+  (void)B;
+  int out_stride = pack4 ? (outW + 1) / 2 : outW;
+  std::vector<float> vert;       // [outH, W] vertical pass (lazy columns)
+  std::vector<int32_t> x0(outW), x1(outW);
+  std::vector<float> wx(outW), orow(outW);
+  for (int i = 0; i < N; i++) {
+    float top = geom[0 * N + i], left = geom[1 * N + i];
+    float h = geom[2 * N + i], w = geom[3 * N + i];
+    float rw = geom[4 * N + i];
+    int page_idx = (int)geom[5 * N + i];
+    const uint8_t* page = pages + (size_t)page_idx * H * W;
+    uint8_t* dst = out + (size_t)i * outH * out_stride;
+    int n_cols = std::min((int)rw, outW);
+    if (n_cols <= 0) {
+      std::fill(dst, dst + (size_t)outH * out_stride, 0);
+      continue;
+    }
+    // Horizontal taps for this line (page-x coordinates, clipped).
+    float denom = std::max(rw, 1.0f);
+    int min_x0 = W, max_x1 = -1;
+    for (int c = 0; c < n_cols; c++) {
+      float sx = (c + 0.5f) * (w / denom) - 0.5f;
+      sx = std::min(std::max(sx, 0.0f), std::max(w - 1.0f, 0.0f));
+      float in_x = left + sx;
+      float fl = std::floor(in_x);
+      wx[c] = in_x - fl;
+      int l = (int)fl;
+      x0[c] = std::min(std::max(l, 0), W - 1);
+      x1[c] = std::min(std::max(l + 1, 0), W - 1);
+      min_x0 = std::min(min_x0, x0[c]);
+      max_x1 = std::max(max_x1, x1[c]);
+    }
+    int span = max_x1 - min_x0 + 1;
+    vert.resize((size_t)span);
+    for (int r = 0; r < outH; r++) {
+      float sy = (r + 0.5f) * (h / outH) - 0.5f;
+      sy = std::min(std::max(sy, 0.0f), std::max(h - 1.0f, 0.0f));
+      float in_y = top + sy;
+      float fl = std::floor(in_y);
+      float fy = in_y - fl;
+      int yl = (int)fl;
+      int yi0 = std::min(std::max(yl, 0), H - 1);
+      int yi1 = std::min(std::max(yl + 1, 0), H - 1);
+      const uint8_t* r0 = page + (size_t)yi0 * W + min_x0;
+      const uint8_t* r1 = page + (size_t)yi1 * W + min_x0;
+      for (int x = 0; x < span; x++)
+        vert[x] = (1.0f - fy) * r0[x] + fy * r1[x];
+      for (int c = 0; c < n_cols; c++)
+        orow[c] = (1.0f - wx[c]) * vert[x0[c] - min_x0] +
+                  wx[c] * vert[x1[c] - min_x0];
+      for (int c = n_cols; c < outW; c++) orow[c] = 0.0f;
+      if (pack4) {
+        pack_row_4bit(orow.data(), outW, dst + (size_t)r * out_stride);
+      } else {
+        uint8_t* od = dst + (size_t)r * out_stride;
+        for (int c = 0; c < outW; c++)
+          od[c] = (uint8_t)std::min(std::max((int)(orow[c] + 0.5f), 0), 255);
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -510,14 +510,31 @@ def render_recognition_sample(
     from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
 
     style = sample_style(rng, hard=rng.random() < 0.15)
-    blockify = 0
+    blockify = 0.0
+    block_snap_t = 0.5
+    block_snap = True
     if rng.random() < blockify_prob:
-        blockify = int(rng.integers(3, 7))
+        # Fractional upscale factors (round 4): real pixel faces are drawn at
+        # arbitrary sizes (Minecraft at 36 px is a 4.5x blow-up of its design
+        # grid), which mixes 4- and 5-px blocks in one glyph; integer repeat
+        # factors alone overfit to uniform block sizes.
+        blockify = float(rng.uniform(2.5, 6.5))
         # Tiny rasterization + no alternate ink: the two-level snap below
         # would put mid-contrast alt words on the wrong side and erase them
         # (labels must stay faithful to the pixels).
         style = replace(style, alt_fg=None, pixelate=0, blur_sigma=0.0, binarize=False)
-        font_size = int(rng.integers(8, 15))
+        font_size = int(rng.integers(8, 19))
+        # Snap threshold biased toward the background (round 4): at 8-11 px
+        # the antialiased coverage of thin strokes is often < 50%, so a
+        # midpoint snap DELETES them — training pixels then contradict the
+        # labels, which is the likely cause of the round-3 regime's 0.29
+        # plateau CER on its own distribution. t < 0.5 keeps partial-coverage
+        # stroke pixels as ink.
+        block_snap_t = float(rng.uniform(0.25, 0.55))
+        # A quarter of the regime keeps the antialiased tiny render
+        # (nearest-upscaled soft glyphs: low-res screenshot zoom rather than
+        # a bitmap font).
+        block_snap = rng.random() < 0.75
     else:
         font_size = int(rng.integers(9, 80))
     font = get_font(style.font_path, font_size)
@@ -557,7 +574,7 @@ def render_recognition_sample(
         kept = [WordBox("a", (float(bb[1]), float(bb[0]), float(bb[3]), float(bb[2])))]
         texts = ["a"]
 
-    if rng.random() < 0.12:
+    if rng.random() < 0.18:
         # Table-cell border hugging the line (round 3): the recognizer must
         # not decode border strokes at the crop edges as "|" / "[" glyphs.
         bt = min(wb.box[0] for wb in kept)
@@ -570,6 +587,25 @@ def render_recognition_sample(
             outline=int(round(style.fg * 255)),
             width=int(rng.integers(1, 4)),
         )
+    if len(kept) >= 2 and rng.random() < 0.12:
+        # Table COLUMN rules between words (round 4): the independent
+        # table-figure eval decoded inter-cell rules as glyphs glued to the
+        # neighbouring word ("metric" -> "metric|"). Vertical strokes in the
+        # word gaps, taller than the text, unlabeled.
+        bt = min(wb.box[0] for wb in kept)
+        bb_ = max(wb.box[2] for wb in kept)
+        over = float(rng.integers(2, 18))
+        lvl = int(round(style.fg * 255))
+        for a, b in zip(kept[:-1], kept[1:]):
+            gap_l, gap_r = a.box[3], b.box[1]
+            if gap_r - gap_l < 6 or rng.random() < 0.3:
+                continue
+            x = float(rng.uniform(gap_l + 2, gap_r - 2))
+            draw.line(
+                [(x, bt - over), (x, bb_ + over)],
+                fill=lvl,
+                width=int(rng.integers(1, 4)),
+            )
 
     arr01 = np.asarray(img, np.float32) / 255.0
     if blockify:
@@ -577,12 +613,27 @@ def render_recognition_sample(
         # (the full 3400-px canvas blown up 6x would be ~25 MB per sample).
         max_r = int(max(wb.box[3] for wb in kept)) + 24
         arr01 = arr01[:, : min(arr01.shape[1], max_r)]
-        # Two-level snap (bitmap fonts have no antialiasing), then
-        # nearest-upscale: every glyph pixel becomes a k x k block.
-        mid = (style.bg + style.fg) / 2.0
-        lo, hi = min(style.bg, style.fg), max(style.bg, style.fg)
-        arr01 = np.where(arr01 < mid, lo, hi).astype(np.float32)
-        arr01 = np.repeat(np.repeat(arr01, blockify, axis=0), blockify, axis=1)
+        if block_snap:
+            # Two-level snap (bitmap fonts have no antialiasing): ink wins
+            # at coverage > block_snap_t of the bg->fg ramp.
+            thr = style.bg + block_snap_t * (style.fg - style.bg)
+            lo, hi = min(style.bg, style.fg), max(style.bg, style.fg)
+            if style.fg < style.bg:  # dark ink: below-threshold is ink
+                arr01 = np.where(arr01 < thr, lo, hi).astype(np.float32)
+            else:  # light ink on dark bg
+                arr01 = np.where(arr01 > thr, hi, lo).astype(np.float32)
+        # Nearest-upscale (fractional factors mix k and k+1 px blocks).
+        img_small = Image.fromarray(
+            (np.clip(arr01, 0.0, 1.0) * 255).astype(np.uint8)
+        )
+        up_w = max(int(round(img_small.width * blockify)), 1)
+        up_h = max(int(round(img_small.height * blockify)), 1)
+        arr01 = (
+            np.asarray(
+                img_small.resize((up_w, up_h), Image.NEAREST), np.float32
+            )
+            / 255.0
+        )
         kept = [
             WordBox(wb.text, tuple(v * blockify for v in wb.box)) for wb in kept
         ]
@@ -746,6 +797,80 @@ def _draw_distractors(draw, rng: np.random.Generator, style: Style, w: int, h: i
             )
 
 
+def _draw_figure_page(
+    draw,
+    rng: np.random.Generator,
+    style: Style,
+    w: int,
+    h: int,
+    words_out: list,
+    alphabet: str,
+) -> None:
+    """A plot-like page: axes frame + curves (unlabeled graphics) + sparse
+    short labeled text (title, axis labels, legend entries with line
+    samples). See render_native_page round-4 note."""
+    lvl = int(round(style.fg * 255))
+    fs = int(rng.integers(14, 34))
+    font = get_font(style.font_path, fs)
+
+    # Axes frame.
+    ax_l = int(rng.integers(30, max(w // 5, 31)))
+    ax_t = int(rng.integers(int(fs * 2.2), max(h // 4, int(fs * 2.2) + 1)))
+    ax_r = int(w - rng.integers(20, max(w // 6, 21)))
+    ax_b = int(h - rng.integers(int(fs * 2.2), max(h // 4, int(fs * 2.2) + 1)))
+    if ax_r - ax_l < 120 or ax_b - ax_t < 100:
+        return
+    draw.rectangle([ax_l, ax_t, ax_r, ax_b], outline=lvl, width=int(rng.integers(1, 3)))
+    # Tick marks.
+    for i in range(int(rng.integers(4, 9))):
+        x = ax_l + (ax_r - ax_l) * (i + 0.5) / 8
+        draw.line([(x, ax_b), (x, ax_b + 6)], fill=lvl, width=1)
+        y = ax_t + (ax_b - ax_t) * (i + 0.5) / 8
+        draw.line([(ax_l - 6, y), (ax_l, y)], fill=lvl, width=1)
+
+    # Curves inside the axes (the matplotlib-1 failure content).
+    for _ in range(int(rng.integers(1, 4))):
+        yc = float(rng.uniform(ax_t + 30, ax_b - 30))
+        amp = float(rng.uniform(10, (ax_b - ax_t) * 0.45))
+        freq = float(rng.uniform(0.5, 3.0)) * 2 * np.pi / max(ax_r - ax_l, 1)
+        phase = float(rng.uniform(0, 2 * np.pi))
+        xs = np.arange(ax_l + 2, ax_r - 2, 3)
+        ys = np.clip(yc + amp * np.sin(freq * (xs - ax_l) + phase), ax_t + 2, ax_b - 2)
+        pts = [(int(x), int(y)) for x, y in zip(xs, ys)]
+        if rng.random() < 0.3:  # dashed curve
+            pts = [p for i, p in enumerate(pts) if (i // 3) % 2 == 0]
+            for i in range(0, len(pts) - 1, 3):
+                draw.line(pts[i : i + 3], fill=lvl, width=int(rng.integers(1, 4)))
+        else:
+            draw.line(pts, fill=lvl, width=int(rng.integers(1, 4)), joint="curve")
+
+    def _text_at(x: float, y: float, n_words: int) -> None:
+        boxes = draw_line_of_words(
+            draw, rng, style, font,
+            x=x, y=y, max_x=float(w - 10), max_words=n_words, alphabet=alphabet,
+        )
+        words_out.extend((b.text, b.box) for b in boxes)
+
+    # Title above the axes; x-label below; legend entries inside.
+    _text_at(float(rng.uniform(ax_l, ax_l + 60)), float(max(ax_t - fs * 1.8, 2)), int(rng.integers(2, 6)))
+    if rng.random() < 0.8:
+        _text_at(float(rng.uniform(ax_l + 40, (ax_l + ax_r) / 2)), float(min(ax_b + fs * 0.6, h - fs * 1.5)), int(rng.integers(2, 5)))
+    # Legend: line sample + words, 1-3 entries stacked.
+    ly = float(rng.uniform(ax_t + 10, (ax_t + ax_b) / 2))
+    lx = float(rng.uniform(ax_l + 20, max(ax_r - 260, ax_l + 21)))
+    n_entries = int(rng.integers(1, 4))
+    if rng.random() < 0.5:  # legend frame
+        draw.rectangle(
+            [lx - 8, ly - 6, min(lx + 250, w - 2), ly + n_entries * fs * 1.6 + 4],
+            outline=lvl, width=1,
+        )
+    for _ in range(n_entries):
+        mid_y = ly + fs * 0.55
+        draw.line([(lx, mid_y), (lx + 34, mid_y)], fill=lvl, width=int(rng.integers(2, 4)))
+        _text_at(lx + 44, ly, int(rng.integers(1, 4)))
+        ly += fs * 1.6
+
+
 def render_native_page(
     rng: np.random.Generator,
     page_hw: Optional[tuple[int, int]] = None,
@@ -769,6 +894,16 @@ def render_native_page(
     _draw_distractors(draw, rng, style, w, h)
 
     if rng.random() < 0.04:  # occasional text-free page (hard negatives)
+        return degrade(np.asarray(img, np.float32) / 255.0, rng, style), words_out
+
+    if rng.random() < 0.18:
+        # Figure page (round 4): the independent matplotlib eval showed the
+        # round-3 detector firing on plot CURVES (decoded as "\\/\\" noise
+        # words) and missing legend text beside line samples. A plot-like
+        # page is the hard case in one frame: an axes box full of curves
+        # (unlabeled) with sparse SHORT text around it (labeled) — title,
+        # axis labels, legend entries each next to a line-sample stroke.
+        _draw_figure_page(draw, rng, style, w, h, words_out, alphabet)
         return degrade(np.asarray(img, np.float32) / 255.0, rng, style), words_out
 
     n_cols = int(rng.integers(1, 4)) if w > 900 else 1
