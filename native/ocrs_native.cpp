@@ -950,4 +950,69 @@ void oc_extract_lines(const uint8_t* pages, int B, int H, int W,
   }
 }
 
+// Deskewing (rotated-rect) line crops for the low-bandwidth transport: the
+// host twin of ops/warp.extract_line_batch_rotated. geom [10, N] f32:
+// ox, oy (page coords of the rect's top-left corner), rx, ry (unit axis
+// along the text), dx, dy (unit axis down the glyphs), w, h (extents),
+// rwidth (resized content width), page index. Output pixel (r, c) samples
+//   (ox, oy) + lx*(rx, ry) + ly*(dx, dy),
+//   lx = clip((c+0.5)*w/max(rw,1) - 0.5, 0, max(w-1, 0)), ly likewise,
+// 4-tap bilinear with clipped gather indices; samples outside the page and
+// columns >= rwidth are 0 (u8 BLACK). No polygon band mask (the rotated
+// rect is the tight region), so the device side only normalizes.
+void oc_extract_lines_rotated(const uint8_t* pages, int B, int H, int W,
+                              const float* geom, int N, int outH, int outW,
+                              int pack4, uint8_t* out) {
+  (void)B;
+  int out_stride = pack4 ? (outW + 1) / 2 : outW;
+  std::vector<float> orow(outW);
+  for (int i = 0; i < N; i++) {
+    float ox = geom[0 * N + i], oy = geom[1 * N + i];
+    float rx = geom[2 * N + i], ry = geom[3 * N + i];
+    float dx = geom[4 * N + i], dy = geom[5 * N + i];
+    float w = geom[6 * N + i], h = geom[7 * N + i];
+    float rw = geom[8 * N + i];
+    const uint8_t* page = pages + (size_t)(int)geom[9 * N + i] * H * W;
+    uint8_t* dst = out + (size_t)i * outH * out_stride;
+    int n_cols = std::min((int)rw, outW);
+    if (n_cols <= 0) {
+      std::fill(dst, dst + (size_t)outH * out_stride, 0);
+      continue;
+    }
+    float denom = std::max(rw, 1.0f);
+    for (int r = 0; r < outH; r++) {
+      float ly = (r + 0.5f) * (h / outH) - 0.5f;
+      ly = std::min(std::max(ly, 0.0f), std::max(h - 1.0f, 0.0f));
+      for (int c = 0; c < n_cols; c++) {
+        float lx = (c + 0.5f) * (w / denom) - 0.5f;
+        lx = std::min(std::max(lx, 0.0f), std::max(w - 1.0f, 0.0f));
+        float px = ox + lx * rx + ly * dx;
+        float py = oy + lx * ry + ly * dy;
+        if (px < 0.0f || px > W - 1.0f || py < 0.0f || py > H - 1.0f) {
+          orow[c] = 0.0f;
+          continue;
+        }
+        float fx = std::floor(px), fy = std::floor(py);
+        int x0 = std::min(std::max((int)fx, 0), W - 1);
+        int x1 = std::min(x0 + 1, W - 1);
+        int y0 = std::min(std::max((int)fy, 0), H - 1);
+        int y1 = std::min(y0 + 1, H - 1);
+        float wx = px - fx, wy = py - fy;
+        const uint8_t* r0 = page + (size_t)y0 * W;
+        const uint8_t* r1 = page + (size_t)y1 * W;
+        orow[c] = (1.0f - wy) * ((1.0f - wx) * r0[x0] + wx * r0[x1]) +
+                  wy * ((1.0f - wx) * r1[x0] + wx * r1[x1]);
+      }
+      for (int c = n_cols; c < outW; c++) orow[c] = 0.0f;
+      if (pack4) {
+        pack_row_4bit(orow.data(), outW, dst + (size_t)r * out_stride);
+      } else {
+        uint8_t* od = dst + (size_t)r * out_stride;
+        for (int c = 0; c < outW; c++)
+          od[c] = (uint8_t)std::min(std::max((int)(orow[c] + 0.5f), 0), 255);
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -148,6 +148,32 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32,
             _I32,
         ]
+        lib.oc_resize_pages.restype = None
+        lib.oc_resize_pages.argtypes = [
+            _U8,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _U8,
+        ]
+        lib.oc_extract_lines.restype = None
+        lib.oc_extract_lines.argtypes = [
+            _U8,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _F32,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _U8,
+        ]
+        lib.oc_extract_lines_rotated.restype = None
+        lib.oc_extract_lines_rotated.argtypes = list(lib.oc_extract_lines.argtypes)
         _lib = lib
         return _lib
 
@@ -255,6 +281,77 @@ def runs_to_rects(
     assert ch == 6
     out = np.empty((b, 9, max_components), dtype=np.float64)
     lib.oc_runs_to_rects(runs, b, k, int(pool), int(max_components), out)
+    return out
+
+
+def resize_pages(
+    pages: np.ndarray, out_hw: tuple[int, int], pack4: bool = False
+) -> Optional[np.ndarray]:
+    """C++ host-side page downscale to detector input resolution (pad
+    bottom/right with black to at least out_hw, then 2-tap half-pixel
+    bilinear — the exact law of ops/resize). `pages`: u8 [B, H, W]. Returns
+    u8 [B, out_h, out_w] (pack4: last axis (out_w+1)//2, two 4-bit pixels
+    per byte, high nibble first), or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    b, h, w = pages.shape
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    stride = (out_w + 1) // 2 if pack4 else out_w
+    out = np.empty((b, out_h, stride), dtype=np.uint8)
+    lib.oc_resize_pages(pages, b, h, w, out_h, out_w, int(pack4), out)
+    return out
+
+
+def extract_lines(
+    pages: np.ndarray,
+    geom: np.ndarray,
+    out_h: int,
+    out_w: int,
+    pack4: bool = False,
+) -> Optional[np.ndarray]:
+    """C++ host-side text-line crop extraction (the low-bandwidth transport
+    path): bilinear sample + resize each line region from full-res host
+    pages with the exact law of ops/warp._extract_impl (the polygon band
+    mask is applied later on device from the tiny geometry arrays).
+
+    `pages`: u8 [B, H, W]; `geom`: f32 [6, N] (top, left, height, width,
+    resized_width, page_index). Returns u8 [N, out_h, out_w] (pack4: last
+    axis (out_w+1)//2), or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    geom = np.ascontiguousarray(geom, dtype=np.float32)
+    b, h, w = pages.shape
+    n = geom.shape[1]
+    stride = (out_w + 1) // 2 if pack4 else out_w
+    out = np.empty((n, out_h, stride), dtype=np.uint8)
+    lib.oc_extract_lines(pages, b, h, w, geom, n, out_h, out_w, int(pack4), out)
+    return out
+
+
+def extract_lines_rotated(
+    pages: np.ndarray,
+    geom: np.ndarray,
+    out_h: int,
+    out_w: int,
+    pack4: bool = False,
+) -> Optional[np.ndarray]:
+    """C++ deskewing line crops (the low-bandwidth twin of
+    ops/warp.extract_line_batch_rotated — see that op for the sampling law).
+    `geom`: f32 [10, N] (ox, oy, rx, ry, dx, dy, w, h, rwidth, page)."""
+    lib = _load()
+    if lib is None:
+        return None
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    geom = np.ascontiguousarray(geom, dtype=np.float32)
+    b, h, w = pages.shape
+    n = geom.shape[1]
+    stride = (out_w + 1) // 2 if pack4 else out_w
+    out = np.empty((n, out_h, stride), dtype=np.uint8)
+    lib.oc_extract_lines_rotated(pages, b, h, w, geom, n, out_h, out_w, int(pack4), out)
     return out
 
 

@@ -182,6 +182,102 @@ def extract_line_batch_rotated(
     return out[:, None, :, :]
 
 
+@partial(jax.jit, static_argnames=("page_hw", "pack4"))
+def mask_normalize_crops(
+    crops_u8: jax.Array,  # [N, out_h, out_w] u8 (pack4: [N, out_h, ceil(w/2)])
+    geom: jax.Array,  # [6, N] f32 (extract_line_batch_packed layout)
+    chains: jax.Array,  # [N, 2, V, 2] f32 top/bottom polygon chains
+    *,
+    page_hw: tuple[int, int],
+    pack4: bool = False,
+) -> jax.Array:
+    """Finish host-extracted line crops on device -> [N, 1, out_h, out_w].
+
+    The low-bandwidth transport path (native.extract_lines) uploads u8
+    crops already bilinear-resized on host with this module's sampling law;
+    what remains is normalization and the polygon band / in-page / width
+    masking, which depend only on the (tiny) geometry arrays — so the masks
+    here are bit-identical to the all-device :func:`extract_line_batch`
+    path, and the pixels differ only by the u8 rounding of the host resize.
+
+    ``pack4``: crops carry two 4-bit pixels per byte (high nibble = even
+    column); dequantized as nibble * 17 (0..15 -> 0..255).
+    """
+    if pack4:
+        hi = crops_u8 >> 4
+        lo = crops_u8 & 0xF
+        n, h, wp = crops_u8.shape
+        crops_u8 = jnp.stack([hi, lo], axis=-1).reshape(n, h, wp * 2) * jnp.uint8(17)
+    out_h, out_w = int(crops_u8.shape[1]), int(crops_u8.shape[2])
+    crops = crops_u8.astype(jnp.float32) / 255.0 + BLACK_VALUE
+    tops, lefts, heights, line_widths, resized_widths = (
+        geom[0], geom[1], geom[2], geom[3], geom[4]
+    )
+    mask = _band_mask(
+        tops, lefts, heights, line_widths, resized_widths,
+        chains[:, 0], chains[:, 1], page_hw[0], page_hw[1], out_h, out_w,
+    )
+    return jnp.where(mask, crops, BLACK_VALUE)[:, None, :, :]
+
+
+def _sample_coords(tops, lefts, heights, line_widths, resized_widths, out_h, out_w):
+    """The half-pixel sample-position law shared by the device extraction
+    and the band mask: [N, out_h] page rows and [N, out_w] page cols."""
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = (ys[None, :] + 0.5) * (heights[:, None] / out_h) - 0.5
+    sy = jnp.clip(sy, 0.0, jnp.maximum(heights[:, None] - 1.0, 0.0))
+    in_y = tops[:, None] + sy
+    sx = (xs[None, :] + 0.5) * (
+        line_widths[:, None] / jnp.maximum(resized_widths[:, None], 1.0)
+    ) - 0.5
+    sx = jnp.clip(sx, 0.0, jnp.maximum(line_widths[:, None] - 1.0, 0.0))
+    in_x = lefts[:, None] + sx
+    return in_y, in_x
+
+
+def _band_mask(
+    tops, lefts, heights, line_widths, resized_widths,
+    top_chain, bot_chain, ph, pw, out_h, out_w,
+):
+    """Polygon band & in-page & valid-column mask [N, out_h, out_w] (the
+    masking stage of :func:`_extract_impl`, factored so the host-crop path
+    can apply the identical mask without the page pixels)."""
+    in_y, in_x = _sample_coords(
+        tops, lefts, heights, line_widths, resized_widths, out_h, out_w
+    )
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+
+    def chain_eval(q, chain):
+        cx, cy = chain[..., 0], chain[..., 1]  # [N, V]
+        v = cx.shape[-1]
+        idx = jnp.clip(
+            jnp.sum(cx[:, None, :] <= q[:, :, None], axis=-1) - 1, 0, v - 2
+        )
+        x0 = jnp.take_along_axis(cx, idx, axis=1)
+        x1 = jnp.take_along_axis(cx, idx + 1, axis=1)
+        y0 = jnp.take_along_axis(cy, idx, axis=1)
+        y1 = jnp.take_along_axis(cy, idx + 1, axis=1)
+        t = jnp.clip((q - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
+        out = y0 + t * (y1 - y0)
+        out = jnp.where(q < cx[:, :1], cy[:, :1], out)
+        return jnp.where(q > cx[:, -1:], cy[:, -1:], out)
+
+    ytop = chain_eval(in_x, top_chain)  # [N, out_w]
+    ybot = chain_eval(in_x, bot_chain)
+    band = (in_y[:, :, None] >= ytop[:, None, :] - 0.5) & (
+        in_y[:, :, None] <= ybot[:, None, :] + 0.5
+    )
+    in_page = (
+        (in_y[:, :, None] >= 0.0)
+        & (in_y[:, :, None] <= ph - 1.0)
+        & (in_x[:, None, :] >= 0.0)
+        & (in_x[:, None, :] <= pw - 1.0)
+    )
+    valid_col = xs[None, None, :] < resized_widths[:, None, None]
+    return band & in_page & valid_col
+
+
 def _extract_impl(
     page,
     tops,
@@ -197,19 +293,11 @@ def _extract_impl(
     out_w: int,
 ) -> jax.Array:
     ph, pw = page.shape[-2], page.shape[-1]
-    n = tops.shape[0]
 
-    # --- sample coordinates -------------------------------------------------
-    ys = jnp.arange(out_h, dtype=jnp.float32)  # [out_h]
-    xs = jnp.arange(out_w, dtype=jnp.float32)  # [out_w]
-
-    sy = (ys[None, :] + 0.5) * (heights[:, None] / out_h) - 0.5  # [N, out_h]
-    sy = jnp.clip(sy, 0.0, jnp.maximum(heights[:, None] - 1.0, 0.0))
-    in_y = tops[:, None] + sy  # [N, out_h] float page rows
-
-    sx = (xs[None, :] + 0.5) * (line_widths[:, None] / jnp.maximum(resized_widths[:, None], 1.0)) - 0.5
-    sx = jnp.clip(sx, 0.0, jnp.maximum(line_widths[:, None] - 1.0, 0.0))
-    in_x = lefts[:, None] + sx  # [N, out_w] float page cols
+    # --- sample coordinates (shared law: _sample_coords) ---------------------
+    in_y, in_x = _sample_coords(
+        tops, lefts, heights, line_widths, resized_widths, out_h, out_w
+    )  # [N, out_h] float page rows / [N, out_w] float page cols
 
     # --- vertical pass: gather two page rows per output row -----------------
     y0 = jnp.floor(in_y)
@@ -242,38 +330,14 @@ def _extract_impl(
     samples = jnp.swapaxes(samples_t, 1, 2)  # [N, out_h, out_w]
 
     # --- polygon band mask ----------------------------------------------------
-    # Piecewise-linear chain evaluation. jnp.interp lowers to a scan-based
-    # searchsorted (~20ms/batch on TPU); with V=64 chain vertices a flat
-    # comparison-count over the vertex axis is pure VPU work and measures at
-    # the dispatch floor.
-    def chain_eval(q, chain):
-        cx, cy = chain[..., 0], chain[..., 1]  # [N, V]
-        v = cx.shape[-1]
-        idx = jnp.clip(
-            jnp.sum(cx[:, None, :] <= q[:, :, None], axis=-1) - 1, 0, v - 2
-        )  # [N, out_w]
-        x0 = jnp.take_along_axis(cx, idx, axis=1)
-        x1 = jnp.take_along_axis(cx, idx + 1, axis=1)
-        y0 = jnp.take_along_axis(cy, idx, axis=1)
-        y1 = jnp.take_along_axis(cy, idx + 1, axis=1)
-        t = jnp.clip((q - x0) / jnp.maximum(x1 - x0, 1e-9), 0.0, 1.0)
-        out = y0 + t * (y1 - y0)
-        out = jnp.where(q < cx[:, :1], cy[:, :1], out)
-        return jnp.where(q > cx[:, -1:], cy[:, -1:], out)
-
-    ytop = chain_eval(in_x, top_chain)  # [N, out_w]
-    ybot = chain_eval(in_x, bot_chain)
-    band = (in_y[:, :, None] >= ytop[:, None, :] - 0.5) & (
-        in_y[:, :, None] <= ybot[:, None, :] + 0.5
+    # Piecewise-linear chain evaluation (see _band_mask). jnp.interp lowers
+    # to a scan-based searchsorted (~20ms/batch on TPU); with V=64 chain
+    # vertices a flat comparison-count over the vertex axis is pure VPU work
+    # and measures at the dispatch floor.
+    mask = _band_mask(
+        tops, lefts, heights, line_widths, resized_widths,
+        top_chain, bot_chain, ph, pw, out_h, out_w,
     )
-    in_page = (
-        (in_y[:, :, None] >= 0.0)
-        & (in_y[:, :, None] <= ph - 1.0)
-        & (in_x[:, None, :] >= 0.0)
-        & (in_x[:, None, :] <= pw - 1.0)
-    )
-    valid_col = xs[None, None, :] < resized_widths[:, None, None]
-    mask = band & in_page & valid_col
 
     out = jnp.where(mask, samples, BLACK_VALUE)
     return out[:, None, :, :]

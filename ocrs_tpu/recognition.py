@@ -766,7 +766,10 @@ class TextRecognizer:
                 out_h=self._input_height,
                 out_w=group_width,
             )
-            logprobs = self.run(crops)
+            # bf16 crops: the recognizer computes in bf16; casting at the
+            # extraction boundary halves the crop materialization and keeps
+            # the engine bit-identical to the pooled pipeline's programs.
+            logprobs = self.run(crops.astype(jnp.bfloat16))
             return logprobs[:n]
 
         # Two packed uploads (geometry + chains) instead of ~8 — each eager
@@ -796,7 +799,8 @@ class TextRecognizer:
             out_h=self._input_height,
             out_w=group_width,
         )
-        logprobs = self.run(crops)  # [n_pad, T, C]
+        # bf16 crops: see the rotated branch above.
+        logprobs = self.run(crops.astype(jnp.bfloat16))  # [n_pad, T, C]
         return logprobs[:n]
 
 

@@ -46,11 +46,16 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from pathlib import Path
+
 from .engine import OcrEngine, OcrInput
 from .geometry import RotatedRect
 from .output import FormatJsonArgs, format_json_output
 from .preprocess import DimOrder, ImageSource
 from .text_items import TextLine
+
+#: Static assets for the browser overlay demo (GET /demo, GET /client.mjs).
+_JS_DIR = Path(__file__).resolve().parent.parent / "js"
 
 
 @dataclass
@@ -359,6 +364,22 @@ def make_handler(engine: OcrEngine, service: Optional[BatchingOcrService] = None
                 self._reply_json(
                     {"status": "ok", "devices": [str(d) for d in jax.devices()]}
                 )
+            elif self.path in ("/demo", "/demo/"):
+                # Browser overlay demo (the reference Chrome extension's UX —
+                # content.ts:68-180 — as a served page): image -> detect ->
+                # positioned, selectable text overlay with lazy per-line
+                # recognition. Served same-origin so no CORS setup is needed.
+                p = _JS_DIR / "examples" / "overlay.html"
+                if not p.exists():
+                    self.send_error(404, "overlay.html not found")
+                    return
+                self._reply(200, p.read_bytes(), "text/html; charset=utf-8")
+            elif self.path == "/client.mjs":
+                p = _JS_DIR / "ocr-client.mjs"
+                if not p.exists():
+                    self.send_error(404, "ocr-client.mjs not found")
+                    return
+                self._reply(200, p.read_bytes(), "text/javascript; charset=utf-8")
             elif self.path.startswith("/session/"):
                 route = self._session_route()
                 if route is None:
