@@ -236,12 +236,16 @@ def bench_line_recognition() -> dict:
         labels = greedy_labels_u8(jnp.transpose(lp, (1, 0, 2)))
         return collapse_greedy_batch_arrays(np.asarray(labels))
 
-    def run_beam():
-        lp = rec.run(batch)
-        n_classes = lp.shape[-1]
-        packed = beam_topk_packed(jnp.transpose(lp, (1, 0, 2)), k=8)
-        vals, idx = unpack_topk(np.asarray(packed), 8)
-        return beam_decode_topk_arrays(vals, idx, 4, n_classes)
+    def make_beam(width):
+        def run_beam():
+            lp = rec.run(batch)
+            n_classes = lp.shape[-1]
+            k = min(max(width, 8), int(n_classes))
+            packed = beam_topk_packed(jnp.transpose(lp, (1, 0, 2)), k=k)
+            vals, idx = unpack_topk(np.asarray(packed), k)
+            return beam_decode_topk_arrays(vals, idx, width, n_classes)
+
+        return run_beam
 
     def timed(fn):
         fn()
@@ -252,7 +256,11 @@ def bench_line_recognition() -> dict:
         return (time.perf_counter() - t0) / n_iter
 
     dt_greedy = timed(run_greedy)
-    dt_beam = timed(run_beam)
+    dt_beam = timed(make_beam(4))
+    # Width 100 is what the CLI's --beam actually means (cli.py, matching
+    # main.rs:403-407) — measured at the same batch so the readback (k = all
+    # 97 classes) and the C++ prefix-beam wall are the CLI-real numbers.
+    dt_beam100 = timed(make_beam(100))
     return {
         "metric": "line_recognition_batch64_w2432",
         "value": round(64 / dt_greedy, 1),
@@ -260,6 +268,8 @@ def bench_line_recognition() -> dict:
         "vs_baseline": 0.0,
         "beam4_lines_per_s": round(64 / dt_beam, 1),
         "beam_over_greedy_wall": round(dt_beam / dt_greedy, 2),
+        "beam100_lines_per_s": round(64 / dt_beam100, 1),
+        "beam100_over_greedy_wall": round(dt_beam100 / dt_greedy, 2),
     }
 
 

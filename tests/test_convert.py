@@ -123,6 +123,118 @@ def test_onnx_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(out, ref, atol=1e-8, rtol=1e-8)
 
 
+def test_convert_onnx_full_dims_through_pipeline(tmp_path, monkeypatch):
+    """Conversion proof at the REAL model scale through the real pipeline
+    (VERDICT r03 "next" #5): a torch CRNN twin at the shipped architecture's
+    full dims (input H=64, hidden 192, 97 classes = DEFAULT_ALPHABET+1) is
+    torch.onnx.export-ed, converted by convert_onnx, and run against crops
+    extracted by the pipeline's own detection + layout + host line
+    preparation on a real committed image — the converted JAX model must
+    greedy-decode every line to exactly the torch model's text (both in
+    float64, where conversion error would be the only difference), and
+    OcrEngine.get_text must run end-to-end with the converted weights."""
+    torch = pytest.importorskip("torch")
+    from pathlib import Path
+
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.convert import convert_onnx
+    from ocrs_tpu.models.recognition_net import RecognitionModel
+    from ocrs_tpu.models.recognition_net import apply as jax_apply
+    from ocrs_tpu.models.recognition_net import init_params
+    from ocrs_tpu.models.weights import load_detection_model
+    from ocrs_tpu.ops.ctc import collapse_greedy_batch
+    from ocrs_tpu.preprocess import DimOrder, ImageSource
+    from ocrs_tpu.recognition import (
+        line_polygon,
+        prepare_text_line_host,
+        resized_line_width,
+    )
+
+    repo = Path(__file__).resolve().parent.parent
+    det_w = repo / "weights" / "text-detection.npz"
+    img_path = repo / "test-data" / "two-lines.png"
+    if not det_w.exists():
+        pytest.skip("shipped detection weights not present")
+
+    hidden, n_classes = 192, len(DEFAULT_ALPHABET) + 1
+    torch.manual_seed(7)
+    src = _make_torch_crnn(torch, hidden, n_classes).double().eval()
+    monkeypatch.setattr(
+        onnx_proto_utils, "_add_onnxscript_fn", lambda mb, co: mb
+    )
+    path = str(tmp_path / "crnn_full.onnx")
+    torch.onnx.export(
+        src,
+        (torch.zeros(1, 1, 64, 128, dtype=torch.float64),),
+        path,
+        dynamo=False,
+        do_constant_folding=True,
+        dynamic_axes={"x": {0: "batch", 3: "seq"}},
+        input_names=["x"],
+    )
+    target = jax.device_get(init_params(jax.random.key(3), n_classes, hidden))
+    converted = convert_onnx(path, target)
+
+    # Real pipeline front half: shipped detector + layout on a real image.
+    det = load_detection_model(det_w)
+    engine = OcrEngine(
+        OcrEngineParams(
+            detection_model=det,
+            recognition_model=RecognitionModel(converted, arch="crnn"),
+            alphabet=DEFAULT_ALPHABET,
+        )
+    )
+    img = np.asarray(Image.open(img_path).convert("L"))
+    inp = engine.prepare_input(
+        ImageSource.from_tensor(img[..., None], DimOrder.HWC)
+    )
+    words = engine.detect_words(inp)
+    lines = engine.find_text_lines(inp, words)
+    assert lines, "detector found no lines on the committed test image"
+
+    # Host-exact crops through the pipeline's own line preparation.
+    page = np.asarray(inp.image[0])
+    crops = []
+    for ws in lines:
+        poly = line_polygon(ws)
+        rect_w = poly[:, 0].max() - poly[:, 0].min()
+        rect_h = poly[:, 1].max() - poly[:, 1].min()
+        rw = resized_line_width(float(rect_w), float(rect_h), 64)
+        crops.append(prepare_text_line_host(page, poly, rw, 64))
+    w_max = max(c.shape[1] for c in crops)
+    batch = np.full((len(crops), 1, 64, w_max), page.min(), np.float64)
+    for i, c in enumerate(crops):
+        batch[i, 0, :, : c.shape[1]] = c
+
+    def decode(lp_tnc: np.ndarray) -> list[str]:
+        lab = np.argmax(np.transpose(lp_tnc, (1, 0, 2)), axis=-1)
+        out = []
+        for steps in collapse_greedy_batch(lab):
+            out.append("".join(DEFAULT_ALPHABET[s.label - 1] for s in steps))
+        return out
+
+    with torch.no_grad():
+        torch_text = decode(src(torch.from_numpy(batch)).numpy())
+    with jax.enable_x64(True):
+        conv64 = jax.tree.map(lambda a: np.asarray(a, np.float64), converted)
+        jax_text = decode(
+            np.asarray(jax_apply(conv64, batch, dtype=jnp.float64))
+        )
+    assert jax_text == torch_text  # converted weights reproduce torch exactly
+
+    # And the engine runs the converted weights end-to-end (f32/bf16 device
+    # path; content equality is covered by the f64 comparison above).
+    text = engine.get_text(inp)
+    assert isinstance(text, str)
+    assert len(text.splitlines()) == sum(1 for _ in lines)
+
+
 def test_torch_crnn_numeric_equivalence():
     """Full torch-CRNN -> JAX conversion proof: a PyTorch twin of the crnn
     architecture (same graph, ONNX-style asymmetric stride-2 pads, torch GRU

@@ -165,6 +165,25 @@ def main(argv=None) -> int:
             print(f"--- {name} predicted ---\n{pred}\n---", file=sys.stderr)
         p, r, f1 = word_prf(pred, expected)
         pi, ri, f1i = word_prf(pred, expected, casefold=True)
+        # Exact-match tracking (the reference harness's own standard:
+        # tools/test-e2e.py:63-79 diffs whitespace-stripped stdout
+        # byte-for-byte). Reported, not gated — the word-F1 threshold
+        # remains the gate; this makes drift toward/away from exact parity
+        # visible per round. char_diff = Levenshtein distance of the
+        # stripped strings (0 iff exact_match).
+        ps, es = "".join(pred.split()), "".join(expected.split())
+        exact = ps == es
+        if exact:
+            dist = 0
+        else:
+            dp = list(range(len(es) + 1))
+            for i, ch in enumerate(ps, 1):
+                prev, dp[0] = dp[0], i
+                for j, rch in enumerate(es, 1):
+                    cur = dp[j]
+                    dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ch != rch))
+                    prev = cur
+            dist = dp[-1]
         results[name] = {
             "precision": round(p, 4),
             "recall": round(r, 4),
@@ -174,6 +193,8 @@ def main(argv=None) -> int:
             "f1_ci": round(f1i, 4),
             "pred_words": len(pred.split()),
             "expected_words": len(expected.split()),
+            "exact_match": exact,
+            "char_diff": dist,
         }
         ok = ok and f1 >= args.min_f1
     print(json.dumps(results))

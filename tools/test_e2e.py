@@ -84,9 +84,14 @@ def run_real_tier(min_f1: float) -> int:
     out = result.stdout.strip().splitlines()
     scores = json.loads(out[-1]) if out else {}
     for name, s in scores.items():
+        exact = (
+            "EXACT"
+            if s.get("exact_match")
+            else f"{s.get('char_diff', '?')} char diff"
+        )
         print(
             f"{name}: P {s['precision']:.3f} R {s['recall']:.3f} F1 {s['f1']:.3f}"
-            f" (threshold {min_f1})"
+            f" (threshold {min_f1}; vs reference exact-match standard: {exact})"
         )
     if result.returncode != 0:
         print(f"real-weights golden tier FAILED (F1 < {min_f1})", file=sys.stderr)
