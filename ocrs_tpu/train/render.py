@@ -523,7 +523,12 @@ def render_recognition_sample(
         # would put mid-contrast alt words on the wrong side and erase them
         # (labels must stay faithful to the pixels).
         style = replace(style, alt_fg=None, pixelate=0, blur_sigma=0.0, binarize=False)
-        font_size = int(rng.integers(8, 19))
+        # 6-18 px: the final crop's block-cell size is ~64/(1.35*font_size)
+        # px after the height-64 resize, so 6 px rasterization reaches the
+        # ~8 px cells a 28 px pixel face shows after crop resize (the round-3
+        # range bottomed at 8 -> max ~6 px cells, leaving the eval's 7-8 px
+        # cells out of distribution).
+        font_size = int(rng.integers(6, 19))
         # Snap threshold biased toward the background (round 4): at 8-11 px
         # the antialiased coverage of thin strokes is often < 50%, so a
         # midpoint snap DELETES them — training pixels then contradict the
