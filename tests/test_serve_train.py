@@ -85,6 +85,29 @@ def test_http_server_roundtrip(tmp_path):
         server.shutdown()
 
 
+def test_http_demo_assets_served():
+    """GET /demo and /client.mjs serve the browser overlay demo same-origin
+    (the extension-class client's no-packaging variant)."""
+    import urllib.request
+
+    from ocrs_tpu.serve import serve
+
+    server = serve(_fake_engine(), port=0)
+    try:
+        port = server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/demo", timeout=60) as r:
+            body = r.read().decode()
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
+            assert "/client.mjs" in body  # demo imports the served client
+        with urllib.request.urlopen(f"{base}/client.mjs", timeout=60) as r:
+            assert r.status == 200
+            assert "OcrClient" in r.read().decode()
+    finally:
+        server.shutdown()
+
+
 def test_http_session_api_lazy_recognition():
     """Session endpoints mirror the wasm OcrEngine lifecycle over HTTP
     (load -> detect -> lazy recognize subset -> full text -> delete)."""
