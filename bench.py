@@ -437,6 +437,11 @@ def main() -> None:
                 n_lines=30,
                 font_size=65,
                 return_words=True,
+                # Real vocabulary tokens: random character soup caps word-F1
+                # near 0.87 for ANY model (l/I/1/| and O/0 are pixel-identical
+                # without word context), which would make the accuracy gate
+                # measure the text source instead of the pipeline.
+                vocab_words=True,
             )
             pages_list.append(((arr[0] + 0.5) * 255).astype(np.uint8))
             truths.append(" ".join(w for w, _ in words))
@@ -494,24 +499,43 @@ def main() -> None:
     # N_COMPUTE_PASSES passes, each N_BATCHES_COMPUTE groups, warmed first.
     from ocrs_tpu.parallel.pipeline import _normalize_batch
 
+    def device_drain():
+        # True queue-drain fence: enqueue a fresh trivial program and read it
+        # back. Programs execute in submission order, so this readback
+        # returns only after ALL previously dispatched device work is done.
+        # Necessary because under the axon relay async label copies can
+        # resolve while later-queued programs still run — without this,
+        # process_stream's wall under-counts (dispatch time only) and the
+        # leaked backlog lands in whatever is timed NEXT (this exact bug
+        # made BENCH r04's first e2e read 3.8 pages/s while an isolated run
+        # measured 24).
+        float((jnp.zeros((1,), jnp.float32) + 1.0)[0])
+
+    # E2E FIRST, then the compute-only passes: switching between the
+    # low-bandwidth stream and the pre-staged full-HBM stream costs ~10s on
+    # the first run after the switch (device-side executable/allocator
+    # transition on this backend), which would land inside whichever metric
+    # is timed right after. The warmup above was the same (lowbw) flavor.
+    t0 = time.perf_counter()
+    pipeline.process_stream([pages] * N_BATCHES)
+    device_drain()
+    elapsed = time.perf_counter() - t0
+    total_pages = N_BATCHES * PAGE_BATCH
+    pages_per_sec = total_pages / elapsed
+
     pages_dev = _normalize_batch(jnp.asarray(pages[..., None]), True)
-    pipeline.process_stream([pages_dev] * 2)  # warm incl. stream structure
+    pipeline.process_stream([pages_dev] * 2)  # warm incl. flavor transition
+    device_drain()
     compute_passes = []
     for _ in range(N_COMPUTE_PASSES):
         t0 = time.perf_counter()
         pipeline.process_stream([pages_dev] * N_BATCHES_COMPUTE)
+        device_drain()
         dt = time.perf_counter() - t0
         compute_passes.append(N_BATCHES_COMPUTE * PAGE_BATCH / dt)
     compute_passes.sort()
     compute_pps = compute_passes[len(compute_passes) // 2]
-
-    # E2E with upload/compute overlap: group N+1's host->device copy is
-    # dispatched before group N synchronizes (PagePipeline.process_stream).
-    t0 = time.perf_counter()
-    pipeline.process_stream([pages] * N_BATCHES)
-    elapsed = time.perf_counter() - t0
-    total_pages = N_BATCHES * PAGE_BATCH
-    pages_per_sec = total_pages / elapsed
+    del pages_dev
 
     breakdown = stage_breakdown(pipeline, pages)
 

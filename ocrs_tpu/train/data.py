@@ -290,11 +290,18 @@ def render_page(
     alphabet: str = DEFAULT_ALPHABET,
     return_words: bool = False,
     font_size: int = 22,
+    vocab_words: bool = False,
 ):
     """Plain page renderer (black text on white at the given size) kept for
     unit tests; training pages come from :func:`ocrs_tpu.train.render.
     render_detection_sample`. With ``return_words`` also returns word records
-    ``(text, (t, l, b, r))``."""
+    ``(text, (t, l, b, r))``.
+
+    ``vocab_words=True`` draws real vocabulary tokens instead of random
+    character soup. Benchmarks that GATE on decoded accuracy must use it:
+    random strings make l/I/1/| and O/0 glyph pairs (pixel-identical in most
+    faces) undecidable without word context, capping word-F1 near 0.87 for
+    ANY model — a ceiling of the text source, not of OCR quality."""
     from PIL import Image, ImageDraw
 
     h, w = page_hw
@@ -309,7 +316,10 @@ def render_page(
             break
         x = 20
         for _ in range(int(rng.integers(2, 6))):
-            word = random_text(rng, alphabet, 3, 8).replace(" ", "")
+            if vocab_words:
+                word = R.sample_word(rng, alphabet).replace(" ", "")
+            else:
+                word = random_text(rng, alphabet, 3, 8).replace(" ", "")
             x0, y0, x1, y1 = draw.textbbox((x, y), word, font=font)
             if x1 > w - 20:
                 break
