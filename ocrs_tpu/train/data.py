@@ -111,6 +111,7 @@ def recognition_batches(
     max_label_len: int = 40,
     seed: int = 0,
     augment: bool = True,
+    render_kwargs: Optional[dict] = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Infinite generator of (images [B,1,64,width], labels [B,L],
     label_lengths [B]) recognition training batches from the styled
@@ -128,10 +129,17 @@ def recognition_batches(
                 width if rng.random() < 0.7 else int(rng.integers(64, width + 1))
             )
             crop, text = R.render_recognition_sample(
-                rng, width_budget=budget, alphabet=alphabet, max_chars=max_label_len
+                rng,
+                width_budget=budget,
+                alphabet=alphabet,
+                max_chars=max_label_len,
+                **(render_kwargs or {}),
             )
             _place_sample(images, labels, lengths, i, crop, text, alphabet)
-            if lengths[i] == 0:  # all chars unsupported (shouldn't happen)
+            if lengths[i] == 0 and text != "":
+                # All chars unsupported (shouldn't happen). Deliberately
+                # empty-labeled graphics-only crops (text == "") keep
+                # length 0: CTC's all-blank path is the supervision.
                 images[i] = BLACK_VALUE
                 labels[i, 0] = 1
                 lengths[i] = 1
@@ -254,13 +262,18 @@ class RecognitionDataset:
                             crop_u8.astype(np.int16) + jitter, 0, 255
                         ).astype(np.uint8)
                     images[row, 0, :, :w] = crop_u8
-                    lab = labels_for(self._texts[i], self.alphabet)[
-                        : self.max_label_len
-                    ]
+                    text = self._texts[i]
+                    lab = labels_for(text, self.alphabet)[: self.max_label_len]
                     labels[row, : len(lab)] = lab
-                    lengths[row] = len(lab) if lab else 1
-                    if not lab:
+                    # Graphics-only samples carry a deliberate empty label
+                    # (length 0 = CTC all-blank supervision); only force a
+                    # non-empty label when the TEXT was non-empty but every
+                    # char fell outside the alphabet.
+                    if lab:
+                        lengths[row] = len(lab)
+                    elif text != "":
                         labels[row, 0] = 1
+                        lengths[row] = 1
                 yield images, labels, lengths
                 continue
             images = np.full((batch_size, 1, 64, self.width), BLACK_VALUE, np.float32)
@@ -272,7 +285,7 @@ class RecognitionDataset:
                     ).astype(np.float32)
                     crop = np.clip(crop, BLACK_VALUE, BLACK_VALUE + 1.0)
                 _place_sample(images, labels, lengths, row, crop, text, self.alphabet)
-                if lengths[row] == 0:
+                if lengths[row] == 0 and text != "":
                     labels[row, 0] = 1
                     lengths[row] = 1
             yield images, labels, lengths
@@ -367,6 +380,7 @@ class DetectionDataset:
         cache_path: Optional[str | Path] = None,
         log_every: int = 0,
         extra_caches: Optional[list[str | Path]] = None,
+        render_kwargs: Optional[dict] = None,
     ):
         self.page_hw = tuple(page_hw)
         if cache_path is not None and Path(cache_path).exists():
@@ -387,7 +401,7 @@ class DetectionDataset:
         images = np.zeros((n_samples, h, w), np.uint8)
         masks = np.zeros((n_samples, (h * w + 7) // 8), np.uint8)
         for k in range(n_samples):
-            s = R.render_detection_sample(rng, det_hw=self.page_hw)
+            s = R.render_detection_sample(rng, det_hw=self.page_hw, **(render_kwargs or {}))
             images[k] = np.clip((s.image - BLACK_VALUE) * 255.0, 0, 255).astype(np.uint8)
             masks[k] = np.packbits(s.mask.astype(bool).reshape(-1))
             if log_every and (k + 1) % log_every == 0:

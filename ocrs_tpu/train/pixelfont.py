@@ -1,0 +1,250 @@
+"""Procedural pixel-font family for training data.
+
+The independent eval (tools/eval_independent.py) holds out a real bitmap
+face (Minecraft.ttf) that is deliberately NOT in the training font bank.
+Round 3 approximated pixel fonts by rasterizing TrueType faces at tiny
+sizes and snapping ("blockify", render.py) — that reproduces block EDGES
+but not pixel-font LETTERFORMS: real bitmap faces are designed directly on
+a ~5x7 grid with uniform 1-px strokes, square terminals and staircase
+diagonals, letter shapes no hinted TrueType rasterization produces.
+
+This module is an original hand-drawn 5x7-grid bitmap font (plus
+programmatic bold/heavy variants) covering the engine's full default
+alphabet. Training on a DIFFERENT pixel face than the eval's held-out one
+keeps the eval honest: the model learns the pixel-font glyph style, not
+the specific face.
+
+Glyph grid: 10 rows. Rows 0-6 are the cap/ascender band (baseline under
+row 6), rows 7-9 the descender band. Lowercase x-height spans rows 2-6.
+Widths vary per glyph (1-5 columns).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+#: rows above the baseline (caps/digits occupy exactly these).
+BASELINE_ROW = 7
+#: total grid rows including descenders.
+GRID_ROWS = 10
+
+# fmt: off
+_G: dict[str, list[str]] = {
+    "0": [".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."],
+    "1": ["..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."],
+    "2": [".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"],
+    "3": [".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."],
+    "4": ["...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."],
+    "5": ["#####", "#....", "####.", "....#", "....#", "#...#", ".###."],
+    "6": ["..##.", ".#...", "#....", "####.", "#...#", "#...#", ".###."],
+    "7": ["#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."],
+    "8": [".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."],
+    "9": [".###.", "#...#", "#...#", ".####", "....#", "...#.", ".##.."],
+    "A": [".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"],
+    "B": ["####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."],
+    "C": [".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."],
+    "D": ["###..", "#..#.", "#...#", "#...#", "#...#", "#..#.", "###.."],
+    "E": ["#####", "#....", "#....", "####.", "#....", "#....", "#####"],
+    "F": ["#####", "#....", "#....", "####.", "#....", "#....", "#...."],
+    "G": [".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".###."],
+    "H": ["#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"],
+    "I": ["###", ".#.", ".#.", ".#.", ".#.", ".#.", "###"],
+    "J": ["..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."],
+    "K": ["#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"],
+    "L": ["#....", "#....", "#....", "#....", "#....", "#....", "#####"],
+    "M": ["#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"],
+    "N": ["#...#", "##..#", "#.#.#", "#..##", "#...#", "#...#", "#...#"],
+    "O": [".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."],
+    "P": ["####.", "#...#", "#...#", "####.", "#....", "#....", "#...."],
+    "Q": [".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"],
+    "R": ["####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"],
+    "S": [".####", "#....", "#....", ".###.", "....#", "....#", "####."],
+    "T": ["#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."],
+    "U": ["#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."],
+    "V": ["#...#", "#...#", "#...#", "#...#", ".#.#.", ".#.#.", "..#.."],
+    "W": ["#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"],
+    "X": ["#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"],
+    "Y": ["#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."],
+    "Z": ["#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"],
+    "a": ["", "", ".###.", "....#", ".####", "#...#", ".####"],
+    "b": ["#....", "#....", "####.", "#...#", "#...#", "#...#", "####."],
+    "c": ["", "", ".###", "#...", "#...", "#...", ".###"],
+    "d": ["....#", "....#", ".####", "#...#", "#...#", "#...#", ".####"],
+    "e": ["", "", ".###.", "#...#", "#####", "#....", ".###."],
+    "f": ["..##", ".#..", "####", ".#..", ".#..", ".#..", ".#.."],
+    "g": ["", "", ".####", "#...#", "#...#", "#...#", ".####",
+          "....#", ".###."],
+    "h": ["#....", "#....", "####.", "#...#", "#...#", "#...#", "#...#"],
+    "i": [".#.", "...", "##.", ".#.", ".#.", ".#.", "###"],
+    "j": ["..#.", "....", "..#.", "..#.", "..#.", "..#.", "..#.",
+          "#.#.", ".#.."],
+    "k": ["#...", "#...", "#..#", "#.#.", "##..", "#.#.", "#..#"],
+    "l": ["#.", "#.", "#.", "#.", "#.", "#.", "##"],
+    "m": ["", "", "##.#.", "#.#.#", "#.#.#", "#.#.#", "#.#.#"],
+    "n": ["", "", "#.##.", "##..#", "#...#", "#...#", "#...#"],
+    "o": ["", "", ".###.", "#...#", "#...#", "#...#", ".###."],
+    "p": ["", "", "####.", "#...#", "#...#", "#...#", "####.",
+          "#....", "#...."],
+    "q": ["", "", ".####", "#...#", "#...#", "#...#", ".####",
+          "....#", "....#"],
+    "r": ["", "", "#.##", "##..", "#...", "#...", "#..."],
+    "s": ["", "", ".###", "#...", ".##.", "...#", "###."],
+    "t": [".#..", ".#..", "####", ".#..", ".#..", ".#..", "..##"],
+    "u": ["", "", "#...#", "#...#", "#...#", "#..##", ".##.#"],
+    "v": ["", "", "#...#", "#...#", "#...#", ".#.#.", "..#.."],
+    "w": ["", "", "#...#", "#...#", "#.#.#", "#.#.#", ".#.#."],
+    "x": ["", "", "#...#", ".#.#.", "..#..", ".#.#.", "#...#"],
+    "y": ["", "", "#...#", "#...#", "#...#", "#...#", ".####",
+          "....#", ".###."],
+    "z": ["", "", "####", "..#.", ".#..", "#...", "####"],
+    "!": ["#", "#", "#", "#", "#", ".", "#"],
+    '"': ["#.#", "#.#", "", "", "", "", ""],
+    "#": ["", ".#.#.", "#####", ".#.#.", ".#.#.", "#####", ".#.#."],
+    "$": ["..#..", ".####", "#.#..", ".###.", "..#.#", "####.", "..#.."],
+    "%": ["##..#", "##..#", "...#.", "..#..", ".#...", "#..##", "#..##"],
+    "&": [".##..", "#..#.", "#.#..", ".#...", "#.#.#", "#..#.", ".##.#"],
+    "'": ["#", "#", "", "", "", "", ""],
+    "(": [".#", "#.", "#.", "#.", "#.", "#.", ".#"],
+    ")": ["#.", ".#", ".#", ".#", ".#", ".#", "#."],
+    "*": ["", "..#..", "#.#.#", ".###.", "#.#.#", "..#..", ""],
+    "+": ["", "", "..#..", "..#..", "#####", "..#..", "..#.."],
+    ",": ["", "", "", "", "", ".#", ".#", "#.", ""],
+    "-": ["", "", "", "####", "", "", ""],
+    ".": ["", "", "", "", "", "##", "##"],
+    "/": ["....#", "...#.", "...#.", "..#..", ".#...", ".#...", "#...."],
+    ":": ["", "", "##", "##", "", "##", "##"],
+    ";": ["", "", ".#", ".#", "", ".#", ".#", "#.", ""],
+    "<": ["...#", "..#.", ".#..", "#...", ".#..", "..#.", "...#"],
+    "=": ["", "", "####", "....", "####", "", ""],
+    ">": ["#...", ".#..", "..#.", "...#", "..#.", ".#..", "#..."],
+    "?": [".###.", "#...#", "....#", "..##.", "..#..", ".....", "..#.."],
+    "@": [".###.", "#...#", "#.###", "#.#.#", "#.###", "#....", ".###."],
+    "[": ["##", "#.", "#.", "#.", "#.", "#.", "##"],
+    "\\": ["#....", ".#...", ".#...", "..#..", "...#.", "...#.", "....#"],
+    "]": ["##", ".#", ".#", ".#", ".#", ".#", "##"],
+    "^": ["..#..", ".#.#.", "#...#", "", "", "", ""],
+    "_": ["", "", "", "", "", "", "", "#####", ""],
+    "`": ["#.", ".#", "", "", "", "", ""],
+    "{": [".##", ".#.", ".#.", "#..", ".#.", ".#.", ".##"],
+    "|": ["#", "#", "#", "#", "#", "#", "#"],
+    "}": ["##.", ".#.", ".#.", "..#", ".#.", ".#.", "##."],
+    "~": ["", "", ".#..#", "#.#.#", "#..#.", "", ""],
+    "€": ["..###", ".#...", "####.", ".#...", "####.", ".#...", "..###"],
+}
+# fmt: on
+
+
+@lru_cache(maxsize=None)
+def glyph_array(ch: str) -> np.ndarray:
+    """[GRID_ROWS, w] bool bitmap for one character (space handled by the
+    caller as pure advance)."""
+    rows = _G[ch]
+    w = max((len(r) for r in rows if r), default=3)
+    out = np.zeros((GRID_ROWS, w), dtype=bool)
+    for i, r in enumerate(rows):
+        for j, c in enumerate(r):
+            if c == "#":
+                out[i, j] = True
+    return out
+
+
+def supported() -> str:
+    """All drawable characters (the engine alphabet minus none)."""
+    return "".join(_G.keys())
+
+
+def _apply_weight(g: np.ndarray, weight: int) -> np.ndarray:
+    """0 = regular; 1 = bold (dilate right); 2 = heavy (right + down)."""
+    if weight >= 1:
+        d = np.zeros_like(g)
+        d[:, 1:] = g[:, :-1]
+        g = g | d
+    if weight >= 2:
+        d = np.zeros_like(g)
+        d[1:, :] = g[:-1, :]
+        g = g | d
+    return g
+
+
+def text_bitmap(
+    text: str,
+    weight: int = 0,
+    letter_space: int = 1,
+    word_space: int = 3,
+) -> tuple[np.ndarray, list[tuple[str, int, int]]]:
+    """Render ``text`` on the design grid.
+
+    Returns (bitmap [GRID_ROWS, W] bool, word spans) where each span is
+    (word, left_col, right_col) of the word's tight ink extent. Characters
+    without a glyph are skipped.
+    """
+    cols: list[np.ndarray] = []
+    spans: list[tuple[str, int, int]] = []
+    x = 0
+    word = ""
+    w_left = 0
+
+    def flush_word(x_end: int) -> None:
+        nonlocal word
+        if word:
+            spans.append((word, w_left, x_end))
+            word = ""
+
+    for ch in text:
+        if ch == " ":
+            flush_word(x)
+            cols.append(np.zeros((GRID_ROWS, word_space), dtype=bool))
+            x += word_space
+            continue
+        if ch not in _G:
+            continue
+        g = _apply_weight(glyph_array(ch), weight)
+        if not word:
+            w_left = x
+        word += ch
+        cols.append(g)
+        x += g.shape[1]
+        cols.append(np.zeros((GRID_ROWS, letter_space), dtype=bool))
+        x += letter_space
+    flush_word(x)
+    if not cols:
+        return np.zeros((GRID_ROWS, 1), dtype=bool), []
+    return np.concatenate(cols, axis=1), spans
+
+
+def render_pixel_line(
+    text: str,
+    scale: float,
+    weight: int = 0,
+    letter_space: int = 1,
+    word_space: int = 3,
+) -> tuple[np.ndarray, list[tuple[str, tuple[float, float, float, float]]]]:
+    """Render ``text`` nearest-upscaled by a (possibly fractional) factor.
+
+    Returns (mask [H, W] float in {0, 1}, word boxes) with boxes as
+    (t, l, b, r) floats in output pixels — the same record shape the
+    TrueType renderer's WordBox carries. Fractional scales mix k- and
+    (k+1)-px blocks, like a real bitmap face drawn at a non-multiple size.
+    """
+    grid, spans = text_bitmap(text, weight, letter_space, word_space)
+    gh, gw = grid.shape
+    out_h = max(int(round(gh * scale)), 1)
+    out_w = max(int(round(gw * scale)), 1)
+    ys = np.minimum((np.arange(out_h) / scale).astype(np.int64), gh - 1)
+    xs = np.minimum((np.arange(out_w) / scale).astype(np.int64), gw - 1)
+    mask = grid[np.ix_(ys, xs)].astype(np.float32)
+
+    boxes = []
+    for word, l, r in spans:
+        # Tight vertical extent of this word's ink.
+        sub = grid[:, l:r]
+        rows = np.nonzero(sub.any(axis=1))[0]
+        if rows.size == 0:
+            continue
+        t, b = int(rows[0]), int(rows[-1]) + 1
+        boxes.append(
+            (word, (t * scale, l * scale, b * scale, r * scale))
+        )
+    return mask, boxes

@@ -478,6 +478,202 @@ def draw_line_of_words(
 # ---------------------------------------------------------------------------
 
 
+def _draw_pixel_line_words(
+    img,
+    rng: np.random.Generator,
+    style: Style,
+    x: float,
+    y: float,
+    max_x: float,
+    max_words: int,
+    alphabet: str = DEFAULT_ALPHABET,
+    scale: Optional[float] = None,
+) -> list[WordBox]:
+    """Pixel-font counterpart of draw_line_of_words: renders a line of
+    sampled words in the procedural bitmap face (train.pixelfont) at a
+    fractional nearest-upscale, pasted at (x, y). Returns WordBoxes in
+    canvas coordinates."""
+    from PIL import Image
+
+    from . import pixelfont as PF
+
+    if scale is None:
+        scale = float(rng.uniform(2.0, 6.5))
+    weight = int(rng.choice([0, 0, 0, 1, 1, 2]))
+    words = [
+        sample_word(rng, alphabet).replace(" ", "")
+        for _ in range(max_words)
+    ]
+    text = " ".join(w for w in words if w)
+    mask, boxes = PF.render_pixel_line(
+        text,
+        scale=scale,
+        weight=weight,
+        letter_space=int(rng.integers(1, 3)),
+        word_space=int(rng.integers(2, 5)),
+    )
+    # Clip to the budget: keep whole words that fit.
+    x0, y0 = int(round(x)), int(round(y))
+    kept: list[WordBox] = []
+    for word, (t, l, b, r) in boxes:
+        if x0 + r > max_x or x0 + r > img.width - 2:
+            break
+        kept.append(WordBox(word, (y0 + t, x0 + l, y0 + b, x0 + r)))
+    if not kept:
+        return []
+    clip_w = min(int(round(kept[-1].box[3] - x0)) + 2, mask.shape[1])
+    mask = mask[:, :clip_w]
+    m8 = Image.fromarray((mask * 255).astype(np.uint8))
+    ink = Image.new("L", m8.size, int(round(style.fg * 255)))
+    img.paste(ink, (x0, y0), m8)
+    return kept
+
+
+def _draw_crop_graphics(
+    draw,
+    rng: np.random.Generator,
+    style: Style,
+    kept: list[WordBox],
+) -> list[WordBox]:
+    """Unlabeled graphics hugging/crossing a recognition line — the shapes
+    the independent matplotlib eval showed being decoded as characters:
+
+      * a legend line-sample stroke left of the first word (content.ts-style
+        legend entries; the detector merges it into the line, so the crop
+        contains it — extend the first word's box to mimic that);
+      * an annotation arrow / diagonal segment crossing the text band
+        (the "calibration point" arrow split the line's decode).
+    """
+    lvl = int(round(style.fg * 255))
+    bt = min(wb.box[0] for wb in kept)
+    bb_ = max(wb.box[2] for wb in kept)
+    if rng.random() < 0.5:
+        # Legend stroke: horizontal segment (sometimes doubled/dashed) left
+        # of the text, vertically centered on the first word.
+        t, l, b, r = kept[0].box
+        gap = float(rng.uniform(5.0, 20.0))
+        length = float(rng.uniform(16.0, 50.0))
+        x1 = l - gap
+        x0 = max(x1 - length, 2.0)
+        if x1 - x0 > 8:
+            ymid = (t + b) / 2.0 + float(rng.uniform(-2, 2))
+            width = int(rng.integers(2, 5))
+            if rng.random() < 0.3:  # dashed sample
+                seg = (x1 - x0) / 5.0
+                for k in range(3):
+                    draw.line(
+                        [(x0 + 2 * k * seg, ymid), (x0 + (2 * k + 1) * seg, ymid)],
+                        fill=lvl, width=width,
+                    )
+            else:
+                draw.line([(x0, ymid), (x1, ymid)], fill=lvl, width=width)
+            # The detected line box reaches over the stroke.
+            kept = list(kept)
+            kept[0] = WordBox(kept[0].text, (t, x0 - float(rng.uniform(0, 4)), b, r))
+    else:
+        # Diagonal/arrow crossing the band between two words (or through
+        # the line's middle when it has one word).
+        xs = [wb.box[3] for wb in kept[:-1]]
+        anchor = (
+            float(xs[int(rng.integers(len(xs)))])
+            if xs
+            else (kept[0].box[1] + kept[0].box[3]) / 2.0
+        )
+        h_band = bb_ - bt
+        x0 = anchor + float(rng.uniform(-20, 20))
+        y0 = bt - float(rng.uniform(0.3, 1.5)) * h_band
+        x1 = x0 + float(rng.uniform(-60, 60))
+        y1 = bb_ + float(rng.uniform(0.3, 1.5)) * h_band
+        if rng.random() < 0.5:
+            x0, y0, x1, y1 = x1, y1, x0, y0
+        draw.line([(x0, y0), (x1, y1)], fill=lvl, width=int(rng.integers(1, 4)))
+        if rng.random() < 0.5:  # arrowhead at the far end
+            ang = np.arctan2(y1 - y0, x1 - x0)
+            for da in (0.45, -0.45):
+                draw.line(
+                    [
+                        (x1, y1),
+                        (x1 - 9 * np.cos(ang + da), y1 - 9 * np.sin(ang + da)),
+                    ],
+                    fill=lvl,
+                    width=int(rng.integers(1, 3)),
+                )
+    return kept
+
+
+def _render_graphics_only_sample(
+    rng: np.random.Generator,
+    width_budget: int,
+    out_h: int,
+) -> tuple[np.ndarray, str]:
+    """A crop containing ONLY graphics (curve fragment / frame corner /
+    rules / arrow) with an EMPTY label: the recognizer learns to emit
+    nothing for a detection false-positive. The independent matplotlib eval
+    decoded curve peaks as "/N", "//" and table rules as stray digits —
+    junk words that cost precision (matplotlib-1 P=0.46)."""
+    from PIL import Image, ImageDraw
+
+    from ..geometry import Rect, RotatedRect
+    from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
+
+    style = sample_style(rng)
+    h = int(rng.integers(18, 90))
+    w = int(rng.integers(int(h * 0.8), h * 8))
+    img = Image.new("L", (w + 40, h + 40), int(round(style.bg * 255)))
+    draw = ImageDraw.Draw(img)
+    lvl = int(round(style.fg * 255))
+    kind = rng.random()
+    if kind < 0.4:
+        # Smooth curve fragment (a sine peak looks like "/\" strokes).
+        amp = float(rng.uniform(h * 0.4, h * 2.0))
+        freq = float(rng.uniform(0.5, 2.0)) * 2 * np.pi / max(w, 1)
+        phase = float(rng.uniform(0, 2 * np.pi))
+        yc = 20 + h / 2
+        xs = np.arange(20, 20 + w, 2)
+        ys = np.clip(yc + amp * np.sin(freq * (xs - 20) + phase), 2, h + 36)
+        draw.line(
+            [(int(x), int(y)) for x, y in zip(xs, ys)],
+            fill=lvl, width=int(rng.integers(2, 5)), joint="curve",
+        )
+    elif kind < 0.6:
+        # Axes/frame corner or box edge.
+        draw.rectangle(
+            [20, 20, 20 + w, 20 + h + int(rng.integers(0, 60))],
+            outline=lvl, width=int(rng.integers(1, 4)),
+        )
+    elif kind < 0.8:
+        # Rules: horizontal + a few verticals (table grid fragment).
+        y = 20 + h // 2
+        draw.line([(20, y), (20 + w, y)], fill=lvl, width=int(rng.integers(1, 4)))
+        for _ in range(int(rng.integers(0, 4))):
+            x = int(rng.integers(20, 20 + w))
+            draw.line([(x, 12), (x, 28 + h)], fill=lvl, width=int(rng.integers(1, 4)))
+    else:
+        # Diagonal arrow.
+        x0, y0 = 20, 20 + int(rng.integers(0, h))
+        x1, y1 = 20 + w, 20 + int(rng.integers(0, h))
+        draw.line([(x0, y0), (x1, y1)], fill=lvl, width=int(rng.integers(1, 4)))
+        ang = np.arctan2(y1 - y0, x1 - x0)
+        for da in (0.45, -0.45):
+            draw.line(
+                [(x1, y1), (x1 - 11 * np.cos(ang + da), y1 - 11 * np.sin(ang + da))],
+                fill=lvl, width=int(rng.integers(1, 3)),
+            )
+    page = degrade(np.asarray(img, np.float32) / 255.0, rng, style) + BLACK_VALUE
+    rect = Rect.from_tlbr(
+        20 - float(rng.uniform(0, 6)),
+        20 - float(rng.uniform(0, 6)),
+        20 + h + float(rng.uniform(0, 6)),
+        20 + w + float(rng.uniform(0, 6)),
+    )
+    poly = line_polygon([RotatedRect.from_rect(rect)])
+    lr_w = float(poly[:, 0].max() - poly[:, 0].min())
+    lr_h = float(poly[:, 1].max() - poly[:, 1].min())
+    rw = min(resized_line_width(lr_w, lr_h, out_h), width_budget)
+    crop = prepare_text_line_host(page[None], poly, rw, out_h)
+    return crop, ""
+
+
 def render_recognition_sample(
     rng: np.random.Generator,
     width_budget: int,
@@ -485,6 +681,9 @@ def render_recognition_sample(
     alphabet: str = DEFAULT_ALPHABET,
     max_chars: int = 40,
     blockify_prob: float = 0.10,
+    pixelfont_prob: float = 0.0,
+    graphics_prob: float = 0.0,
+    empty_prob: float = 0.0,
 ) -> tuple[np.ndarray, str]:
     """One (crop [out_h, <=width_budget] float normalized, text) pair through
     the pipeline-exact crop transform.
@@ -509,11 +708,30 @@ def render_recognition_sample(
     from ..geometry import Rect, RotatedRect
     from ..recognition import line_polygon, prepare_text_line_host, resized_line_width
 
+    if rng.random() < empty_prob:
+        return _render_graphics_only_sample(rng, width_budget, out_h)
+
     style = sample_style(rng, hard=rng.random() < 0.15)
     blockify = 0.0
     block_snap_t = 0.5
     block_snap = True
-    if rng.random() < blockify_prob:
+    pixelfont = rng.random() < pixelfont_prob
+    pixel_scale = 0.0
+    if pixelfont:
+        # Procedural bitmap face (train.pixelfont): true pixel-font
+        # letterforms, drawn at their final fractional scale — no snap or
+        # upscale needed (the glyphs ARE two-level blocks). Soft blur kept
+        # rarely (an anti-aliased screenshot of a pixel face).
+        pixel_scale = float(rng.uniform(2.0, 6.5))
+        style = replace(
+            style,
+            alt_fg=None,
+            pixelate=0,
+            binarize=False,
+            blur_sigma=style.blur_sigma if rng.random() < 0.2 else 0.0,
+        )
+        font_size = max(int(round(pixel_scale * 9)), 9)
+    elif rng.random() < blockify_prob:
         # Fractional upscale factors (round 4): real pixel faces are drawn at
         # arbitrary sizes (Minecraft at 36 px is a 4.5x blow-up of its design
         # grid), which mixes 4- and 5-px blocks in one glyph; integer repeat
@@ -553,17 +771,30 @@ def render_recognition_sample(
     est_h = font_size * 1.35 + 8
     budget_canvas_w = width_budget / max(out_h / est_h, 1e-3) + 40
 
-    boxes = draw_line_of_words(
-        draw,
-        rng,
-        style,
-        font,
-        x=16.0,
-        y=float(y),
-        max_x=min(canvas_w - 20.0, 16.0 + budget_canvas_w),
-        max_words=int(rng.integers(1, 8)),
-        alphabet=alphabet,
-    )
+    if pixelfont:
+        boxes = _draw_pixel_line_words(
+            img,
+            rng,
+            style,
+            x=16.0,
+            y=float(y),
+            max_x=min(canvas_w - 20.0, 16.0 + budget_canvas_w),
+            max_words=int(rng.integers(1, 8)),
+            alphabet=alphabet,
+            scale=pixel_scale,
+        )
+    else:
+        boxes = draw_line_of_words(
+            draw,
+            rng,
+            style,
+            font,
+            x=16.0,
+            y=float(y),
+            max_x=min(canvas_w - 20.0, 16.0 + budget_canvas_w),
+            max_words=int(rng.integers(1, 8)),
+            alphabet=alphabet,
+        )
     texts = []
     total = 0
     kept: list[WordBox] = []
@@ -611,6 +842,8 @@ def render_recognition_sample(
                 fill=lvl,
                 width=int(rng.integers(1, 4)),
             )
+    if kept and rng.random() < graphics_prob:
+        kept = _draw_crop_graphics(draw, rng, style, kept)
 
     arr01 = np.asarray(img, np.float32) / 255.0
     if blockify:
@@ -880,6 +1113,8 @@ def render_native_page(
     rng: np.random.Generator,
     page_hw: Optional[tuple[int, int]] = None,
     alphabet: str = DEFAULT_ALPHABET,
+    figure_prob: float = 0.18,
+    pixelfont_prob: float = 0.0,
 ) -> tuple[np.ndarray, list[tuple[str, tuple[float, float, float, float]]]]:
     """Render a full styled page at NATIVE resolution.
 
@@ -901,7 +1136,7 @@ def render_native_page(
     if rng.random() < 0.04:  # occasional text-free page (hard negatives)
         return degrade(np.asarray(img, np.float32) / 255.0, rng, style), words_out
 
-    if rng.random() < 0.18:
+    if rng.random() < figure_prob:
         # Figure page (round 4): the independent matplotlib eval showed the
         # round-3 detector firing on plot CURVES (decoded as "\\/\\" noise
         # words) and missing legend text beside line samples. A plot-like
@@ -915,6 +1150,10 @@ def render_native_page(
     col_gap = int(rng.uniform(30, 90))
     col_w = (w - 40 - col_gap * (n_cols - 1)) // n_cols
     body_size = int(rng.integers(12, 42))
+    # Pixel-font page (a screenshot of a bitmap-face UI/game): the whole
+    # page is set in the procedural 5x7 face so the DETECTOR also sees
+    # pixel-font word shapes (the independent eval's held-out face pages).
+    use_pixel = rng.random() < pixelfont_prob
 
     for col in range(n_cols):
         cx = 20 + col * (col_w + col_gap)
@@ -931,18 +1170,31 @@ def render_native_page(
             for _ in range(n_lines):
                 if y + f_size * 1.4 > h - 8:
                     break
-                boxes = draw_line_of_words(
-                    draw,
-                    rng,
-                    style,
-                    font,
-                    x=float(cx),
-                    y=y,
-                    max_x=float(cx + col_w),
-                    max_words=2 if is_heading else 12,
-                    alphabet=alphabet,
-                    superscript_prob=0.08 if not is_heading else 0.0,
-                )
+                if use_pixel:
+                    boxes = _draw_pixel_line_words(
+                        img,
+                        rng,
+                        style,
+                        x=float(cx),
+                        y=y,
+                        max_x=float(cx + col_w),
+                        max_words=2 if is_heading else 12,
+                        alphabet=alphabet,
+                        scale=max(f_size / 9.0, 1.5),
+                    )
+                else:
+                    boxes = draw_line_of_words(
+                        draw,
+                        rng,
+                        style,
+                        font,
+                        x=float(cx),
+                        y=y,
+                        max_x=float(cx + col_w),
+                        max_words=2 if is_heading else 12,
+                        alphabet=alphabet,
+                        superscript_prob=0.08 if not is_heading else 0.0,
+                    )
                 words_out.extend((b.text, b.box) for b in boxes)
                 if boxes and rng.random() < 0.12:
                     # Snug table-cell border around the line (round 3: the
@@ -1037,6 +1289,7 @@ def render_detection_sample(
     rng: np.random.Generator,
     det_hw: tuple[int, int] = _DET_HW,
     alphabet: str = DEFAULT_ALPHABET,
+    **page_kwargs,
 ) -> DetectionSample:
-    page01, words = render_native_page(rng, alphabet=alphabet)
+    page01, words = render_native_page(rng, alphabet=alphabet, **page_kwargs)
     return detection_sample_from_native(page01, words, det_hw)

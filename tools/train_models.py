@@ -55,6 +55,17 @@ def _greedy_cer(logprobs_tnc, labels, lengths, alphabet) -> float:
     return err / max(total, 1)
 
 
+def _render_kwargs(args) -> dict | None:
+    """Renderer regime-share overrides from CLI flags (None = renderer
+    defaults)."""
+    kw = {}
+    for name in ("blockify_prob", "pixelfont_prob", "graphics_prob", "empty_prob"):
+        v = getattr(args, name)
+        if v is not None:
+            kw[name] = v
+    return kw or None
+
+
 def train_recognition(args) -> None:
     import jax
     import optax
@@ -87,9 +98,7 @@ def train_recognition(args) -> None:
         cache_path=cache,
         log_every=5000,
         extra_caches=args.extra_cache or None,
-        render_kwargs={"blockify_prob": args.blockify_prob}
-        if args.blockify_prob is not None
-        else None,
+        render_kwargs=_render_kwargs(args),
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} lines)", flush=True)
     if args.render_only:
@@ -104,6 +113,7 @@ def train_recognition(args) -> None:
             width=args.width,
             max_label_len=args.max_label_len,
             seed=args.data_seed + 7919,
+            render_kwargs=_render_kwargs(args),
         )
     )
 
@@ -194,9 +204,19 @@ def train_detection(args) -> None:
     )
     print(f"dataset: {args.samples} pages (cache {cache})", flush=True)
     t0 = time.time()
+    kw = _render_kwargs(args) or {}
+    det_kw = {
+        k: v
+        for k, v in {
+            "figure_prob": args.figure_prob,
+            "pixelfont_prob": kw.get("pixelfont_prob"),
+        }.items()
+        if v is not None
+    }
     ds = DetectionDataset(
         args.samples, page_hw=DEFAULT_INPUT_HW, seed=args.data_seed, cache_path=cache,
         log_every=500, extra_caches=args.extra_cache or None,
+        render_kwargs=det_kw or None,
     )
     print(f"dataset ready in {time.time() - t0:.0f}s ({len(ds)} pages)", flush=True)
     if args.render_only:
@@ -270,6 +290,34 @@ def main() -> None:
         default=None,
         help="override the renderer's bitmap-font regime share when "
         "rendering a fresh recognition cache (default: renderer's 0.10)",
+    )
+    parser.add_argument(
+        "--pixelfont-prob",
+        type=float,
+        default=None,
+        help="share of recognition samples set in the procedural pixel "
+        "face (train.pixelfont; renderer default 0.0)",
+    )
+    parser.add_argument(
+        "--graphics-prob",
+        type=float,
+        default=None,
+        help="share of recognition crops with unlabeled legend strokes / "
+        "arrows crossing the line (renderer default 0.0)",
+    )
+    parser.add_argument(
+        "--empty-prob",
+        type=float,
+        default=None,
+        help="share of graphics-only crops with EMPTY labels (renderer "
+        "default 0.0)",
+    )
+    parser.add_argument(
+        "--figure-prob",
+        type=float,
+        default=None,
+        help="share of plot-like figure pages when rendering a detection "
+        "cache (renderer default 0.18)",
     )
     parser.add_argument(
         "--render-only",
