@@ -593,9 +593,13 @@ def merge_vertical_chains(
             lw = last[3] - last[1]
             x_overlap = min(r, last[3]) - max(l, last[1])
             gap = t - last[2]
+            # Rotated-glyph blobs overlap vertically (ascender/descender
+            # boxes of adjacent glyphs interleave): allow up to ~half a
+            # member of overlap, not a fixed 4 px — a matplotlib y-label's
+            # stack breaks into fragments otherwise.
             if (
                 x_overlap >= min(4.0, 0.8 * min(w, lw))
-                and -4.0 <= gap <= 1.2 * max(w, lw)
+                and -0.6 * max(w, lw) <= gap <= 1.2 * max(w, lw)
             ):
                 chains[cid].append(i)
                 attached = True

@@ -278,7 +278,9 @@ def main(argv=None) -> int:
 
     from eval_reference import build_engine, word_prf as _  # noqa: F401 - same semantics
 
-    engine = build_engine(args.detect, args.rec, beam=False)
+    # vertical_text: figure pages carry 90°-rotated axis labels (the
+    # matplotlib page's ylabel); the engine feature exists for exactly this.
+    engine = build_engine(args.detect, args.rec, beam=False, vertical=True)
 
     from ocrs_tpu.preprocess import DimOrder, ImageSource
 

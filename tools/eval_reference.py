@@ -51,6 +51,7 @@ def build_engine(
     beam: bool,
     postprocess: str | None = None,
     post_res: str | None = None,
+    vertical: bool = False,
 ):
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
     from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
@@ -60,6 +61,8 @@ def build_engine(
     det = load_detection_model(detect or str(weights_dir / "text-detection.npz"))
     rec = load_recognition_model(rec or str(weights_dir / "text-recognition.npz"))
     kwargs = {}
+    if vertical:
+        kwargs["vertical_text"] = True
     if postprocess is not None:
         kwargs["detection_postprocess"] = postprocess
     if post_res is not None:
