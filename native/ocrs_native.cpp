@@ -1015,4 +1015,86 @@ void oc_extract_lines_rotated(const uint8_t* pages, int B, int H, int W,
   }
 }
 
+// Strip-packed text-line crops: like oc_extract_lines, but each line is
+// written at ITS OWN resized width into a shared [outH, totalW] strip at
+// column offset offs[i] instead of being padded to the batch-max width.
+// On the low-bandwidth transport the batch-max padding is ~48% of the
+// crop bytes on dense 300-dpi pages (measured, bench pages) — the strip
+// halves the recognition upload losslessly; the device side gathers each
+// line's window back out of the strip and applies the identical polygon
+// band / width mask (ops/warp.strip_gather), so decoded text is unchanged.
+//
+// Caller contract: offs[i] ascending; line i owns columns
+// [offs[i], offs[i] + seg_i) with seg_i = offs[i+1] - offs[i] (last line:
+// totalW - offs[i]), seg_i >= max(min((int)rw_i, seg_i), 0) content columns
+// and, when pack4 is set, offs[i] and totalW even (segments never share a
+// packed byte). Unowned/padding columns are 0 (BLACK).
+void oc_extract_lines_strip(const uint8_t* pages, int B, int H, int W,
+                            const float* geom, const int32_t* offs, int N,
+                            int outH, int totalW, int pack4, uint8_t* out) {
+  (void)B;
+  int out_stride = pack4 ? (totalW + 1) / 2 : totalW;
+  std::fill(out, out + (size_t)outH * out_stride, 0);
+  std::vector<float> vert;
+  std::vector<int32_t> x0, x1;
+  std::vector<float> wx, orow;
+  for (int i = 0; i < N; i++) {
+    int off = offs[i];
+    int seg = (i + 1 < N ? offs[i + 1] : totalW) - off;
+    float top = geom[0 * N + i], left = geom[1 * N + i];
+    float h = geom[2 * N + i], w = geom[3 * N + i];
+    float rw = geom[4 * N + i];
+    int page_idx = (int)geom[5 * N + i];
+    const uint8_t* page = pages + (size_t)page_idx * H * W;
+    int n_cols = std::min((int)rw, seg);
+    if (n_cols <= 0) continue;  // strip pre-zeroed
+    x0.resize(seg);
+    x1.resize(seg);
+    wx.resize(seg);
+    orow.resize(seg);
+    float denom = std::max(rw, 1.0f);
+    int min_x0 = W, max_x1 = -1;
+    for (int c = 0; c < n_cols; c++) {
+      float sx = (c + 0.5f) * (w / denom) - 0.5f;
+      sx = std::min(std::max(sx, 0.0f), std::max(w - 1.0f, 0.0f));
+      float in_x = left + sx;
+      float fl = std::floor(in_x);
+      wx[c] = in_x - fl;
+      int l = (int)fl;
+      x0[c] = std::min(std::max(l, 0), W - 1);
+      x1[c] = std::min(std::max(l + 1, 0), W - 1);
+      min_x0 = std::min(min_x0, x0[c]);
+      max_x1 = std::max(max_x1, x1[c]);
+    }
+    int span = max_x1 - min_x0 + 1;
+    vert.resize((size_t)span);
+    for (int r = 0; r < outH; r++) {
+      float sy = (r + 0.5f) * (h / outH) - 0.5f;
+      sy = std::min(std::max(sy, 0.0f), std::max(h - 1.0f, 0.0f));
+      float in_y = top + sy;
+      float fl = std::floor(in_y);
+      float fy = in_y - fl;
+      int yl = (int)fl;
+      int yi0 = std::min(std::max(yl, 0), H - 1);
+      int yi1 = std::min(std::max(yl + 1, 0), H - 1);
+      const uint8_t* r0 = page + (size_t)yi0 * W + min_x0;
+      const uint8_t* r1 = page + (size_t)yi1 * W + min_x0;
+      for (int x = 0; x < span; x++)
+        vert[x] = (1.0f - fy) * r0[x] + fy * r1[x];
+      for (int c = 0; c < n_cols; c++)
+        orow[c] = (1.0f - wx[c]) * vert[x0[c] - min_x0] +
+                  wx[c] * vert[x1[c] - min_x0];
+      for (int c = n_cols; c < seg; c++) orow[c] = 0.0f;
+      if (pack4) {
+        // off is even by contract, so the segment starts on a byte edge.
+        pack_row_4bit(orow.data(), seg, out + (size_t)r * out_stride + off / 2);
+      } else {
+        uint8_t* od = out + (size_t)r * out_stride + off;
+        for (int c = 0; c < seg; c++)
+          od[c] = (uint8_t)std::min(std::max((int)(orow[c] + 0.5f), 0), 255);
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -174,6 +174,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.oc_extract_lines_rotated.restype = None
         lib.oc_extract_lines_rotated.argtypes = list(lib.oc_extract_lines.argtypes)
+        lib.oc_extract_lines_strip.restype = None
+        lib.oc_extract_lines_strip.argtypes = [
+            _U8,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _F32,
+            _I32,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            _U8,
+        ]
         _lib = lib
         return _lib
 
@@ -329,6 +343,41 @@ def extract_lines(
     stride = (out_w + 1) // 2 if pack4 else out_w
     out = np.empty((n, out_h, stride), dtype=np.uint8)
     lib.oc_extract_lines(pages, b, h, w, geom, n, out_h, out_w, int(pack4), out)
+    return out
+
+
+def extract_lines_strip(
+    pages: np.ndarray,
+    geom: np.ndarray,
+    offs: np.ndarray,
+    out_h: int,
+    total_w: int,
+    pack4: bool = False,
+) -> Optional[np.ndarray]:
+    """C++ strip-packed text-line crops (low-bandwidth transport): each line
+    is extracted at its own resized width into a shared [out_h, total_w]
+    strip at column offset ``offs[i]`` instead of padding every line to the
+    batch-max width (~48% of the bytes on dense pages). Same sampling law
+    as :func:`extract_lines`; the device side gathers windows back out of
+    the strip (ops/warp.strip_gather) and masks identically.
+
+    `geom`: f32 [6, N]; `offs`: i32 [N] ascending, line i owning columns
+    [offs[i], offs[i+1]) (last line to total_w); with ``pack4`` both offs
+    and total_w must be even. Returns u8 [out_h, total_w] (pack4: last axis
+    total_w//2), or None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pages = np.ascontiguousarray(pages, dtype=np.uint8)
+    geom = np.ascontiguousarray(geom, dtype=np.float32)
+    offs = np.ascontiguousarray(offs, dtype=np.int32)
+    b, h, w = pages.shape
+    n = geom.shape[1]
+    stride = (total_w + 1) // 2 if pack4 else total_w
+    out = np.empty((out_h, stride), dtype=np.uint8)
+    lib.oc_extract_lines_strip(
+        pages, b, h, w, geom, offs, n, out_h, total_w, int(pack4), out
+    )
     return out
 
 

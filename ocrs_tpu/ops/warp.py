@@ -220,6 +220,50 @@ def mask_normalize_crops(
     return jnp.where(mask, crops, BLACK_VALUE)[:, None, :, :]
 
 
+@partial(jax.jit, static_argnames=("page_hw", "pack4", "out_w"))
+def strip_mask_normalize_crops(
+    strip_u8: jax.Array,  # [out_h, total_w] u8 (pack4: [out_h, total_w//2])
+    offs: jax.Array,  # [N] i32 strip column offset of each line's segment
+    geom: jax.Array,  # [6, N] f32 (extract_line_batch_packed layout)
+    chains: jax.Array,  # [N, 2, V, 2] f32 top/bottom polygon chains
+    *,
+    page_hw: tuple[int, int],
+    pack4: bool = False,
+    out_w: int,
+) -> jax.Array:
+    """Finish STRIP-packed host crops on device -> [N, 1, out_h, out_w].
+
+    The low-bandwidth transport's native.extract_lines_strip uploads every
+    line at its own resized width, concatenated along the column axis
+    (batch-max padding is ~48% of the bytes on dense pages; the strip omits
+    it). This op gathers each line's ``out_w``-wide window back out of the
+    strip — columns past a line's segment read the neighbouring segment,
+    which is harmless because the identical polygon band / in-page / width
+    mask of :func:`mask_normalize_crops` blacks every column >=
+    resized_width before the recognizer sees it."""
+    if pack4:
+        hi = strip_u8 >> 4
+        lo = strip_u8 & 0xF
+        h, wp = strip_u8.shape
+        strip_u8 = jnp.stack([hi, lo], axis=-1).reshape(h, wp * 2) * jnp.uint8(17)
+    out_h, total_w = int(strip_u8.shape[0]), int(strip_u8.shape[1])
+    idx = jnp.clip(
+        offs[:, None] + jnp.arange(out_w, dtype=jnp.int32)[None, :],
+        0,
+        total_w - 1,
+    )  # [N, out_w]
+    crops_u8 = jnp.transpose(jnp.take(strip_u8, idx, axis=1), (1, 0, 2))
+    crops = crops_u8.astype(jnp.float32) / 255.0 + BLACK_VALUE
+    tops, lefts, heights, line_widths, resized_widths = (
+        geom[0], geom[1], geom[2], geom[3], geom[4]
+    )
+    mask = _band_mask(
+        tops, lefts, heights, line_widths, resized_widths,
+        chains[:, 0], chains[:, 1], page_hw[0], page_hw[1], out_h, out_w,
+    )
+    return jnp.where(mask, crops, BLACK_VALUE)[:, None, :, :]
+
+
 def _sample_coords(tops, lefts, heights, line_widths, resized_widths, out_h, out_w):
     """The half-pixel sample-position law shared by the device extraction
     and the band mask: [N, out_h] page rows and [N, out_w] page cols."""

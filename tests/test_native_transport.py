@@ -129,3 +129,41 @@ def test_extract_lines_rotated_matches_device_op():
     # Undo the normalization to compare in u8 space.
     dev_u8 = (dev - BLACK_VALUE) * 255.0
     np.testing.assert_allclose(out[0].astype(np.float32), dev_u8, atol=0.75)
+
+
+def test_extract_lines_strip_matches_padded_kernel():
+    """The strip kernel writes each line's crop at its own width into the
+    shared strip; content columns must equal the padded kernel's, unowned
+    columns must be BLACK, and pack4 segments must not share bytes."""
+    rng = np.random.default_rng(5)
+    pages = rng.integers(0, 256, (2, 60, 90), np.uint8)
+    geom = np.array(
+        [
+            [4.0, 25.0, 10.0],  # top
+            [2.0, 8.0, 1.0],  # left
+            [14.0, 18.0, 9.0],  # height
+            [50.0, 70.0, 33.0],  # width
+            [29.0, 24.0, 0.0],  # resized width (last: padding line)
+            [0.0, 1.0, 0.0],  # page index
+        ],
+        np.float32,
+    )
+    segs = [30, 24, 0]  # even-rounded resized widths
+    offs = np.array([0, 30, 54], np.int32)
+    total_w = 64
+    strip = native.extract_lines_strip(pages, geom, offs, out_h=16, total_w=total_w)
+    padded = native.extract_lines(pages, geom, out_h=16, out_w=32)
+    for i, (off, seg) in enumerate(zip(offs, segs)):
+        w = int(geom[4, i])
+        np.testing.assert_array_equal(strip[:, off : off + w], padded[i, :, :w])
+    assert (strip[:, 54:] == 0).all()  # tail: zero-width line + quantize pad
+
+    strip4 = native.extract_lines_strip(
+        pages, geom, offs, out_h=16, total_w=total_w, pack4=True
+    )
+    padded4 = native.extract_lines(pages, geom, out_h=16, out_w=32, pack4=True)
+    for i, (off, seg) in enumerate(zip(offs, segs)):
+        wbytes = (int(geom[4, i]) + 1) // 2
+        np.testing.assert_array_equal(
+            strip4[:, off // 2 : off // 2 + wbytes], padded4[i, :, :wbytes]
+        )

@@ -134,6 +134,23 @@ def train_recognition(args) -> None:
         init_params, init_meta = load_params(args.init_from)
         print(f"warm start from {args.init_from} (meta {init_meta.get('arch')})", flush=True)
 
+    def _save(state, step):
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_params(
+            out,
+            jax.device_get(state.params),
+            meta={
+                "kind": "recognition",
+                "arch": args.arch,
+                "hidden": args.hidden,
+                "n_classes": n_classes,
+                "alphabet": DEFAULT_ALPHABET,
+                "trained_on": "styled synthetic rendered text (ocrs_tpu.train.render)",
+                "steps": step,
+            },
+        )
+
     with mesh:
         state = init_recognition_state(
             mesh,
@@ -165,22 +182,11 @@ def train_recognition(args) -> None:
                     f"[recognition/{args.arch}] step {step:6d}  val CER {cer:.4f}",
                     flush=True,
                 )
-        out = Path(args.output)
-        out.parent.mkdir(parents=True, exist_ok=True)
-        save_params(
-            out,
-            jax.device_get(state.params),
-            meta={
-                "kind": "recognition",
-                "arch": args.arch,
-                "hidden": args.hidden,
-                "n_classes": n_classes,
-                "alphabet": DEFAULT_ALPHABET,
-                "trained_on": "styled synthetic rendered text (ocrs_tpu.train.render)",
-                "steps": args.steps,
-            },
-        )
-        print(f"saved {out}")
+                # Checkpoint at every validation: long fine-tunes stay
+                # resumable/harvestable if the run is cut short.
+                _save(state, step)
+        _save(state, args.steps)
+        print(f"saved {args.output}")
 
 
 def train_detection(args) -> None:
