@@ -121,6 +121,16 @@ def build_parser() -> argparse.ArgumentParser:
         "reading directions, keeping the higher-confidence one (no "
         "reference counterpart)",
     )
+    p.add_argument(
+        "--min-line-conf",
+        type=float,
+        default=None,
+        metavar="P",
+        help="Drop decoded lines whose character-frame confidence is below "
+        "P in (0, 1] — suppresses graphics strokes (plot curves, table "
+        "rules) decoded as glyph soup; ~0.45 keeps real text (no reference "
+        "counterpart)",
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -226,6 +236,7 @@ def main(argv=None) -> int:
             allowed_chars=args.allowed_chars,
             deskew=args.deskew,
             vertical_text=args.vertical_text,
+            min_line_confidence=args.min_line_conf,
         )
     )
 

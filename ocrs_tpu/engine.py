@@ -85,6 +85,13 @@ class OcrEngineParams:
     #: recognition crops them along the rotated rect in BOTH reading
     #: directions and keeps the higher-confidence decode.
     vertical_text: bool = False
+    #: Drop decoded lines whose character-frame confidence
+    #: (ops.ctc.text_confidence) is below this, in (0, 1]. Suppresses
+    #: graphics strokes (plot curves, table rules) boxed by the detector and
+    #: decoded as low-probability glyph soup. TPU extension, no reference
+    #: counterpart; None = off (default). ~0.45 keeps real text (measured
+    #: >=0.9 on the golden images) while dropping most stroke junk.
+    min_line_confidence: Optional[float] = None
 
 
 class OcrInput:
@@ -124,6 +131,7 @@ class OcrEngine:
         )
         self._debug = params.debug
         self._vertical_text = params.vertical_text
+        self._min_line_confidence = params.min_line_confidence
         self._decode_method = params.decode_method
         self._alphabet = params.alphabet or DEFAULT_ALPHABET
         # Label i (>=1) maps to alphabet[i-1]; build the excluded-label list
@@ -185,6 +193,7 @@ class OcrEngine:
                 decode_method=self._decode_method,
                 alphabet=self._alphabet,
                 excluded_char_labels=self._excluded_char_labels,
+                min_line_confidence=self._min_line_confidence,
             ),
             vertical=vertical,
         )

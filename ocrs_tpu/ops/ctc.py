@@ -45,6 +45,26 @@ def greedy_labels_u8(logprobs: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def text_confidence(logprobs: jax.Array) -> jax.Array:
+    """Per-line decode confidence over the NON-BLANK frames: [N, T, C] ->
+    [N] f32 in (0, 1], exp(mean over frames whose argmax is a character of
+    that character's log-probability).
+
+    Restricting to non-blank frames matters: a graphics-only crop (a plot
+    curve, a table rule) decodes as mostly-confident blanks plus a few
+    low-probability character frames — its ALL-frame mean looks fine while
+    its character frames are garbage. Real text scores >~0.9 here; stroke
+    junk typically <~0.7 (the basis of the engine's opt-in
+    ``min_line_confidence`` filter). Lines with no character frames return
+    1.0 — they emit no text, so they are never worth filtering."""
+    maxlp = jnp.max(logprobs, axis=-1)  # [N, T]
+    nonblank = jnp.argmax(logprobs, axis=-1) != 0
+    s = jnp.sum(jnp.where(nonblank, maxlp, 0.0), axis=1)
+    c = jnp.sum(nonblank, axis=1)
+    return jnp.exp(s / jnp.maximum(c, 1)).astype(jnp.float32)
+
+
+@jax.jit
 def mask_excluded(logprobs: jax.Array, excluded_onehot: jax.Array) -> jax.Array:
     """Set log-probability of excluded class labels to -inf
     (recognition.rs:547-561). `excluded_onehot` is [C] bool."""

@@ -365,6 +365,7 @@ class PagePipeline:
         transport_pack4: bool = True,
         deskew: bool = False,
         vertical_text: bool = False,
+        min_line_confidence: Optional[float] = None,
         debug: bool = False,
     ):
         """`mesh`: optional jax.sharding.Mesh with a "data" axis. When given,
@@ -447,6 +448,10 @@ class PagePipeline:
         # OcrEngineParams.deskew / .vertical_text.
         self._deskew = deskew
         self._vertical = vertical_text
+        # Low-confidence line suppression (OcrEngineParams.min_line_confidence
+        # parity): threshold on ops.ctc.text_confidence, fused into the
+        # recognition program, filtered at collect.
+        self._min_conf = min_line_confidence
         self._debug = debug
         # Fused detect program cache: None = untried, False = model's run()
         # not traceable (dispatch stage-at-a-time), else the jitted callable.
@@ -878,8 +883,19 @@ class PagePipeline:
         any_voting = False
         per_page_results: list[list[_LineResult]] = [[] for _ in per_page_lines]
         for group_width, batch, out_dev, with_conf in inflight:
+            tconf = None
+            if isinstance(out_dev, tuple):
+                parts = list(out_dev)
+                out_dev = parts.pop(0)
+                conf_dev = parts.pop(0) if with_conf else None
+                tconf = (
+                    np.asarray(parts.pop(0))[: len(batch)]
+                    if self._min_conf is not None
+                    else None
+                )
+            else:
+                conf_dev = None
             if with_conf:
-                out_dev, conf_dev = out_dev
                 conf = np.asarray(conf_dev)[: len(batch)]
                 any_voting = True
             else:
@@ -898,7 +914,19 @@ class PagePipeline:
                 decoded = beam_decode_topk_arrays(
                     vals, idx, self._decode.width, n_classes
                 )
-            for (pg, rl), steps, c in zip(batch, decoded, conf):
+            for col, ((pg, rl), steps, c) in enumerate(zip(batch, decoded, conf)):
+                if (
+                    tconf is not None
+                    and self._min_conf is not None
+                    and tconf[col] < self._min_conf
+                ):
+                    # Low-confidence glyph soup (graphics strokes boxed by
+                    # the detector): emit nothing for this line.
+                    steps = (
+                        (steps[0][:0], steps[1][:0])
+                        if isinstance(steps, tuple)
+                        else []
+                    )
                 per_page_results[pg].append(
                     _LineResult(
                         line=rl,
@@ -1148,9 +1176,14 @@ class PagePipeline:
             # into one buffer (one relay round trip).
             k = min(max(self._decode.width, 8), n_classes)
             out = beam_topk_packed(lp, k=k)
+        outs = [out]
         if with_conf:
-            return out, jnp.mean(jnp.max(lp, axis=-1), axis=1)
-        return out
+            outs.append(jnp.mean(jnp.max(lp, axis=-1), axis=1))
+        if self._min_conf is not None:
+            from ..ops.ctc import text_confidence
+
+            outs.append(text_confidence(lp))
+        return tuple(outs) if len(outs) > 1 else out
 
     # -- entry ------------------------------------------------------------------
 

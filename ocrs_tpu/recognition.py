@@ -78,6 +78,13 @@ class RecognitionOpt:
     decode_method: DecodeMethod = field(default_factory=Greedy)
     alphabet: str = ""
     excluded_char_labels: Optional[Sequence[int]] = None
+    #: Drop decoded lines whose character-frame confidence
+    #: (ops.ctc.text_confidence: exp of the mean log-prob over non-blank
+    #: frames) is below this, in (0, 1]. Suppresses graphics strokes (plot
+    #: curves, table rules) that the detector boxed and the recognizer
+    #: "read" as low-probability glyph soup — a TPU extension; the
+    #: reference emits every decode unconditionally. None = off (default).
+    min_line_confidence: Optional[float] = None
 
 
 # ---------------------------------------------------------------------------
@@ -692,16 +699,25 @@ class TextRecognizer:
             conf_dev = None
             if any(rl.variant >= 0 for rl in batch):
                 conf_dev = jnp.mean(jnp.max(logprobs, axis=-1), axis=1)
+            tconf_dev = None
+            if opts.min_line_confidence is not None:
+                from .ops.ctc import text_confidence
+
+                tconf_dev = text_confidence(logprobs)
             try:
                 out.copy_to_host_async()
                 if conf_dev is not None:
                     conf_dev.copy_to_host_async()
+                if tconf_dev is not None:
+                    tconf_dev.copy_to_host_async()
             except AttributeError:  # older jax Array without async copy
                 pass
-            inflight.append((group_width, batch, ctc_input_len, out, conf_dev))
+            inflight.append(
+                (group_width, batch, ctc_input_len, out, conf_dev, tconf_dev)
+            )
 
         results: list[_LineResult] = []
-        for group_width, batch, ctc_input_len, out, conf_dev in inflight:
+        for group_width, batch, ctc_input_len, out, conf_dev, tconf_dev in inflight:
             host = np.asarray(out)
             if greedy:
                 decoded = collapse_greedy_batch(host[: len(batch)])
@@ -716,7 +732,18 @@ class TextRecognizer:
                 if conf_dev is not None
                 else np.zeros(len(batch), dtype=np.float32)
             )
-            for rl, steps, c in zip(batch, decoded, conf):
+            tconf = (
+                np.asarray(tconf_dev)[: len(batch)]
+                if tconf_dev is not None
+                else np.ones(len(batch), dtype=np.float32)
+            )
+            for rl, steps, c, tc in zip(batch, decoded, conf, tconf):
+                if (
+                    opts.min_line_confidence is not None
+                    and steps
+                    and tc < opts.min_line_confidence
+                ):
+                    steps = []  # low-confidence glyph soup: emit nothing
                 results.append(
                     _LineResult(
                         line=rl,

@@ -22,6 +22,7 @@ Widths vary per glyph (1-5 columns).
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import Optional
 
 import numpy as np
 
@@ -133,14 +134,70 @@ _G: dict[str, list[str]] = {
     "~": ["", "", ".#..#", "#.#.#", "#..#.", "", ""],
     "€": ["..###", ".#...", "####.", ".#...", "####.", ".#...", "..###"],
 }
+
+# Alternate letterforms: real bitmap faces disagree exactly on these glyphs
+# (single- vs two-story a/g, pointed vs flat M/N/w, x-height proportions,
+# open vs closed digit bowls). Training on ONE form per letter memorizes the
+# face; sampling among forms per line forces the model to read the pixel-
+# font STYLE. Each entry is a list of additional forms on the same grid
+# (round-4 diagnosis: the held-out pixel face failed precisely on
+# w/g/N/y/c, each drawn differently there than in _G).
+_G_ALT: dict[str, list[list[str]]] = {
+    # taller x-height form (rows 1-6) + flat-bottom bowl form
+    "a": [["", ".###.", "....#", ".####", "#...#", "#...#", ".####"],
+          ["", "", ".##.", "..#.", ".##.", "#.#.", ".###"]],
+    "e": [["", ".###.", "#...#", "#####", "#....", "#...#", ".###."],
+          ["", "", ".##.", "#..#", "####", "#...", ".##."]],
+    # two-story g with open hook / narrow g
+    "g": [["", "", ".###.", "#...#", "#...#", ".####", "....#",
+           "...#.", ".##.."],
+          ["", "", ".####", "#..#.", ".##..", "#....", ".###.",
+           "#...#", ".###."]],
+    "s": [["", "", ".####", "#....", ".###.", "....#", "####."],
+          ["", "", ".##", "#..", ".#.", "..#", "##."]],
+    "r": [["", "", "#.#.", "##.#", "#...", "#...", "#..."],
+          ["", "", "#.##", "##..", "#...", "#...", "#..."]],
+    "t": ["#...", "#...", "###.", "#...", "#...", "#...", ".##."],
+    "f": [[".##.", "#...", "###.", "#...", "#...", "#...", "#..."]],
+    "y": [["", "", "#..#", "#..#", "#..#", ".###", "...#", ".##."],
+          ["", "", "#...#", ".#.#.", "..#..", "..#..", ".#...",
+           "#....", ""]],
+    # pointed-centre w / narrow w
+    "w": [["", "", "#...#", "#...#", "#.#.#", "##.##", "#...#"],
+          ["", "", "#.#.#", "#.#.#", "#.#.#", "#.#.#", ".#.#."]],
+    "u": [["", "", "#..#", "#..#", "#..#", "#..#", ".###"]],
+    "m": [["", "", "##.##", "#.#.#", "#.#.#", "#.#.#", "#.#.#"]],
+    "k": [["#...", "#...", "#.#.", "##..", "#.#.", "#.#.", "#..#"]],
+    "c": [["", "", ".###.", "#....", "#....", "#....", ".###."]],
+    "N": [["#...#", "##..#", "##..#", "#.#.#", "#..##", "#..##", "#...#"]],
+    "M": [["#...#", "##.##", "#.#.#", "#...#", "#...#", "#...#", "#...#"]],
+    "W": [["#...#", "#...#", "#...#", "#.#.#", "#.#.#", "#.#.#", ".#.#."]],
+    "G": [[".####", "#....", "#....", "#..##", "#...#", "#...#", ".####"]],
+    "I": [["#", "#", "#", "#", "#", "#", "#"]],
+    "1": [[".#.", "##.", ".#.", ".#.", ".#.", ".#.", ".#."]],
+    "3": [["####.", "....#", "...#.", "..##.", "....#", "#...#", ".###."]],
+    "5": [["#####", "#....", "#....", "####.", "....#", "....#", "####."]],
+    "9": [[".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."]],
+    "0": [[".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."]],
+}
 # fmt: on
 
 
+def _norm_alt(alt) -> list[list[str]]:
+    """Accept a bare rows-list as a single alternate form."""
+    return [alt] if alt and isinstance(alt[0], str) else alt
+
+
 @lru_cache(maxsize=None)
-def glyph_array(ch: str) -> np.ndarray:
+def glyph_array(ch: str, form: int = 0) -> np.ndarray:
     """[GRID_ROWS, w] bool bitmap for one character (space handled by the
-    caller as pure advance)."""
+    caller as pure advance). ``form``: 0 = the base _G shape, i >= 1 = the
+    (i-1)-th _G_ALT alternate (clamped; characters without alternates
+    always return the base form)."""
     rows = _G[ch]
+    if form > 0 and ch in _G_ALT:
+        alts = _norm_alt(_G_ALT[ch])
+        rows = alts[min(form - 1, len(alts) - 1)]
     w = max((len(r) for r in rows if r), default=3)
     out = np.zeros((GRID_ROWS, w), dtype=bool)
     for i, r in enumerate(rows):
@@ -148,6 +205,11 @@ def glyph_array(ch: str) -> np.ndarray:
             if c == "#":
                 out[i, j] = True
     return out
+
+
+def n_forms(ch: str) -> int:
+    """1 + number of alternate forms for ``ch``."""
+    return 1 + (len(_norm_alt(_G_ALT[ch])) if ch in _G_ALT else 0)
 
 
 def supported() -> str:
@@ -173,12 +235,15 @@ def text_bitmap(
     weight: int = 0,
     letter_space: int = 1,
     word_space: int = 3,
+    forms: Optional[dict[str, int]] = None,
 ) -> tuple[np.ndarray, list[tuple[str, int, int]]]:
     """Render ``text`` on the design grid.
 
     Returns (bitmap [GRID_ROWS, W] bool, word spans) where each span is
     (word, left_col, right_col) of the word's tight ink extent. Characters
-    without a glyph are skipped.
+    without a glyph are skipped. ``forms``: per-character letterform index
+    (see :func:`glyph_array`) — one face uses one form per letter
+    consistently, so the choice is per LINE, not per occurrence.
     """
     cols: list[np.ndarray] = []
     spans: list[tuple[str, int, int]] = []
@@ -200,7 +265,7 @@ def text_bitmap(
             continue
         if ch not in _G:
             continue
-        g = _apply_weight(glyph_array(ch), weight)
+        g = _apply_weight(glyph_array(ch, (forms or {}).get(ch, 0)), weight)
         if not word:
             w_left = x
         word += ch
@@ -220,6 +285,7 @@ def render_pixel_line(
     weight: int = 0,
     letter_space: int = 1,
     word_space: int = 3,
+    rng: Optional[np.random.Generator] = None,
 ) -> tuple[np.ndarray, list[tuple[str, tuple[float, float, float, float]]]]:
     """Render ``text`` nearest-upscaled by a (possibly fractional) factor.
 
@@ -227,8 +293,20 @@ def render_pixel_line(
     (t, l, b, r) floats in output pixels — the same record shape the
     TrueType renderer's WordBox carries. Fractional scales mix k- and
     (k+1)-px blocks, like a real bitmap face drawn at a non-multiple size.
+
+    ``rng``: when given, each character picks a random letterform for this
+    line (uniform over its base + alternates, see _G_ALT) — a per-line
+    "face" draw so training covers the letterform systems real bitmap
+    fonts disagree on.
     """
-    grid, spans = text_bitmap(text, weight, letter_space, word_space)
+    forms = None
+    if rng is not None:
+        forms = {
+            ch: int(rng.integers(0, n_forms(ch)))
+            for ch in set(text)
+            if ch in _G_ALT
+        }
+    grid, spans = text_bitmap(text, weight, letter_space, word_space, forms)
     gh, gw = grid.shape
     out_h = max(int(round(gh * scale)), 1)
     out_w = max(int(round(gw * scale)), 1)

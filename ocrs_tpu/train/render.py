@@ -511,6 +511,7 @@ def _draw_pixel_line_words(
         weight=weight,
         letter_space=int(rng.integers(1, 3)),
         word_space=int(rng.integers(2, 5)),
+        rng=rng,  # per-line letterform draw (pixelfont._G_ALT)
     )
     # Clip to the budget: keep whole words that fit.
     x0, y0 = int(round(x)), int(round(y))

@@ -219,3 +219,46 @@ def test_recognize_rotated_line():
         br = out[0].bounding_rect()
         page = Rect.from_hw(100, 200)
         assert page.intersects(br)
+
+
+def test_min_line_confidence_filters_low_confidence_lines():
+    """min_line_confidence drops lines whose character frames decode at low
+    probability while keeping the same text when confidence is high (the
+    wrapper shifts logits by a constant: argmax/text unchanged, confidence
+    collapsed)."""
+    import jax
+
+    from ocrs_tpu.engine import DEFAULT_ALPHABET, OcrEngine, OcrEngineParams
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.preprocess import DimOrder, ImageSource
+
+    class LowConfRec(FakeRecognitionModel):
+        def run(self, x: jax.Array) -> jax.Array:
+            return super().run(x) - 5.0  # same argmax, conf ~ e^-4.5
+
+    img = np.zeros((100, 200), dtype=np.uint8)
+    img[30:50, 20:90] = 255
+    alphabet = DEFAULT_ALPHABET[:63]
+
+    def text(rec_model, min_conf):
+        engine = OcrEngine(
+            OcrEngineParams(
+                detection_model=FakeDetectionModel(),
+                recognition_model=rec_model,
+                alphabet=alphabet,
+                min_line_confidence=min_conf,
+            )
+        )
+        inp = engine.prepare_input(
+            ImageSource.from_tensor(img[..., None], DimOrder.HWC)
+        )
+        return engine.get_text(inp)
+
+    base = text(FakeRecognitionModel(), None)
+    assert base.strip()
+    # High-confidence decode survives the filter unchanged...
+    assert text(FakeRecognitionModel(), 0.5) == base
+    # ...the same text at collapsed confidence is dropped...
+    assert text(LowConfRec(), 0.5) == ""
+    # ...and passes through when the filter is off.
+    assert text(LowConfRec(), None) == base

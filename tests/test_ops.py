@@ -568,3 +568,23 @@ def test_pipeline_run_table_geometry_matches_device_path():
     for ra, rb in zip(a, b):
         assert ra.text == rb.text
         assert len(ra.words) == len(rb.words)
+
+
+def test_text_confidence_nonblank_mean_and_empty_lines():
+    """ops.ctc.text_confidence: exp(mean max-log-prob over frames whose
+    argmax is a character); all-blank lines return 1.0."""
+    import jax.numpy as jnp
+
+    from ocrs_tpu.ops.ctc import text_confidence
+
+    lp = np.full((2, 4, 3), -10.0, np.float32)
+    # Line 0: frames 0,2 decode char 1 at logp -0.2 / -0.6; frames 1,3 blank.
+    lp[0, 0, 1] = -0.2
+    lp[0, 2, 1] = -0.6
+    lp[0, 1, 0] = -0.1
+    lp[0, 3, 0] = -0.1
+    # Line 1: all blank.
+    lp[1, :, 0] = -0.05
+    out = np.asarray(text_confidence(jnp.asarray(lp)))
+    np.testing.assert_allclose(out[0], np.exp(-0.4), rtol=1e-5)
+    np.testing.assert_allclose(out[1], 1.0, rtol=1e-6)

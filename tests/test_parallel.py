@@ -287,3 +287,39 @@ def test_recognition_train_step_sharded():
         s2, loss2 = step(s1, images, labels, lengths)
         assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
         assert float(loss2) < float(loss1)  # one step of progress on a fixed batch
+
+
+def test_pipeline_min_line_confidence_matches_engine_filter():
+    """PagePipeline(min_line_confidence=...) drops the same low-confidence
+    lines as the engine filter (fused text-confidence output + collect-time
+    filter)."""
+    import jax
+
+    from ocrs_tpu.engine import DEFAULT_ALPHABET
+    from ocrs_tpu.models.fakes import FakeDetectionModel, FakeRecognitionModel
+    from ocrs_tpu.parallel.pipeline import PagePipeline
+
+    class LowConfRec(FakeRecognitionModel):
+        def run(self, x: jax.Array) -> jax.Array:
+            return super().run(x) - 5.0
+
+    alphabet = DEFAULT_ALPHABET[:63]
+    pages = np.zeros((2, 100, 200), dtype=np.uint8)
+    pages[0, 30:50, 20:90] = 255
+    pages[1, 40:60, 30:110] = 255
+
+    def texts(rec, min_conf):
+        pipe = PagePipeline(
+            FakeDetectionModel(),
+            rec,
+            alphabet,
+            max_lines_per_batch=8,
+            min_line_confidence=min_conf,
+        )
+        return [r.text for r in pipe.process(pages)]
+
+    base = texts(FakeRecognitionModel(), None)
+    assert any(t.strip() for t in base)
+    assert texts(FakeRecognitionModel(), 0.5) == base
+    assert texts(LowConfRec(), 0.5) == ["", ""]
+    assert texts(LowConfRec(), None) == base

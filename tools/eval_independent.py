@@ -272,6 +272,13 @@ def main(argv=None) -> int:
     ap.add_argument("--detect", default=None)
     ap.add_argument("--rec", default=None)
     ap.add_argument("--min-f1", type=float, default=0.0, help="gate on overall F1")
+    ap.add_argument(
+        "--min-line-conf",
+        type=float,
+        default=0.45,
+        help="engine min_line_confidence (drops graphics-stroke glyph soup "
+        "on the figure pages; 0 disables)",
+    )
     ap.add_argument("--save-dir", default=None, help="dump rendered PNGs")
     ap.add_argument("--show", action="store_true", help="print predictions")
     args = ap.parse_args(argv)
@@ -280,7 +287,13 @@ def main(argv=None) -> int:
 
     # vertical_text: figure pages carry 90°-rotated axis labels (the
     # matplotlib page's ylabel); the engine feature exists for exactly this.
-    engine = build_engine(args.detect, args.rec, beam=False, vertical=True)
+    engine = build_engine(
+        args.detect,
+        args.rec,
+        beam=False,
+        vertical=True,
+        min_line_conf=args.min_line_conf or None,
+    )
 
     from ocrs_tpu.preprocess import DimOrder, ImageSource
 

@@ -52,6 +52,7 @@ def build_engine(
     postprocess: str | None = None,
     post_res: str | None = None,
     vertical: bool = False,
+    min_line_conf: float | None = None,
 ):
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
     from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
@@ -67,6 +68,8 @@ def build_engine(
         kwargs["detection_postprocess"] = postprocess
     if post_res is not None:
         kwargs["detection_postprocess_resolution"] = post_res
+    if min_line_conf is not None:
+        kwargs["min_line_confidence"] = min_line_conf
     return OcrEngine(
         OcrEngineParams(
             detection_model=det,
