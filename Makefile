@@ -14,7 +14,7 @@ native: _build/libocrs_native.so
 
 _build/libocrs_native.so: native/ocrs_native.cpp
 	mkdir -p _build
-	g++ -O3 -std=c++17 -shared -fPIC $< -o $@
+	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@
 
 test: native
 	$(CPU_ENV) $(PYTHON) -m pytest tests/ -x -q

@@ -37,6 +37,8 @@ from ..layout import find_text_lines
 from ..models.protocol import Model, fixed_height_or, fixed_hw
 from ..ops.connected_components import label_components_multigrid
 from ..ops.ctc import (
+    BEAM_EMISSION_GAP,
+    beam_candidate_k,
     beam_decode_topk_arrays,
     beam_topk_packed,
     collapse_greedy_batch_arrays,
@@ -909,7 +911,7 @@ class PagePipeline:
                 decoded = collapse_greedy_batch_arrays(host)
             else:
                 n_classes = len(self._alphabet) + 1
-                k = min(max(self._decode.width, 8), n_classes)
+                k = beam_candidate_k(self._decode.width, n_classes)
                 vals, idx = unpack_topk(host[: len(batch)], k)
                 decoded = beam_decode_topk_arrays(
                     vals, idx, self._decode.width, n_classes
@@ -1171,11 +1173,11 @@ class PagePipeline:
             out = greedy_labels_u8(lp)
         else:
             # Beam: per-frame top-k candidates fused into the program — the
-            # beam never looks past the top max(width, 8) classes, so the
-            # readback is ~5k/(4C) the size of the full log-probs, packed
-            # into one buffer (one relay round trip).
-            k = min(max(self._decode.width, 8), n_classes)
-            out = beam_topk_packed(lp, k=k)
+            # beam never extends past the top beam_candidate_k classes, so
+            # the readback is ~5k/(4C) the size of the full log-probs,
+            # packed into one buffer (one relay round trip).
+            k = beam_candidate_k(self._decode.width, n_classes)
+            out = beam_topk_packed(lp, k=k, gap=BEAM_EMISSION_GAP)
         outs = [out]
         if with_conf:
             outs.append(jnp.mean(jnp.max(lp, axis=-1), axis=1))

@@ -40,7 +40,9 @@ from .errors import WrongOutputError
 from .geometry import Line, Rect, RotatedRect, bounding_rect
 from .models.protocol import Model, fixed_height_or
 from .ops.ctc import (
+    BEAM_EMISSION_GAP,
     CtcStep,
+    beam_candidate_k,
     beam_decode_topk,
     beam_topk_packed,
     collapse_greedy_batch,
@@ -691,7 +693,9 @@ class TextRecognizer:
                 out = greedy_labels_u8(logprobs)
             else:
                 out = beam_topk_packed(
-                    logprobs, k=min(max(opts.decode_method.width, 8), n_classes)
+                    logprobs,
+                    k=beam_candidate_k(opts.decode_method.width, n_classes),
+                    gap=BEAM_EMISSION_GAP,
                 )
             # Direction-voting batches additionally read back a per-line
             # confidence (mean over frames of the max log-prob) — [N] f32,
@@ -722,7 +726,7 @@ class TextRecognizer:
             if greedy:
                 decoded = collapse_greedy_batch(host[: len(batch)])
             else:
-                k = min(max(opts.decode_method.width, 8), n_classes)
+                k = beam_candidate_k(opts.decode_method.width, n_classes)
                 vals, idx = unpack_topk(host[: len(batch)], k)
                 decoded = beam_decode_topk(
                     vals, idx, opts.decode_method.width, n_classes

