@@ -188,12 +188,55 @@ def _norm_alt(alt) -> list[list[str]]:
     return [alt] if alt and isinstance(alt[0], str) else alt
 
 
+#: Vertical-metric families. "cap7" is the base design (7-row caps, 5-row
+#: x-height, 3-row descenders). "cap6" programmatically squashes caps /
+#: ascenders to 6 rows and descenders to 2 — the proportions of the other
+#: major bitmap-font school (Minecraft-style faces have 6-block caps over a
+#: 5-block x-height; the held-out eval face sat outside the cap7-only
+#: distribution, VERDICT r4).
+METRICS_VARIANTS = ("cap7", "cap6")
+
+
+def _squash_band(band: np.ndarray, anchor_bottom: bool) -> np.ndarray:
+    """Remove one row from a glyph band: prefer deleting a row identical to
+    its neighbor (pure duplicate — shape preserved exactly); else OR-merge
+    the middle pair. Returns band with one fewer row, re-anchored with a
+    blank row at the top (anchor_bottom) or bottom."""
+    n = band.shape[0]
+    for r in range(1, n - 1):
+        if (band[r] == band[r - 1]).all():
+            kept = np.delete(band, r, axis=0)
+            break
+    else:
+        mid = n // 2
+        merged = band[mid - 1] | band[mid]
+        kept = np.vstack([band[: mid - 1], merged[None], band[mid + 1 :]])
+    blank = np.zeros((1, band.shape[1]), dtype=bool)
+    return np.vstack([blank, kept]) if anchor_bottom else np.vstack([kept, blank])
+
+
+def _apply_metrics(g: np.ndarray, metrics: str) -> np.ndarray:
+    """Map a cap7 glyph bitmap to another metric family (see
+    METRICS_VARIANTS)."""
+    if metrics == "cap7":
+        return g
+    out = g.copy()
+    cap = out[: BASELINE_ROW]  # rows 0..6
+    if cap[0].any() or cap[1].any():  # cap-height or ascender glyph
+        out[:BASELINE_ROW] = _squash_band(cap, anchor_bottom=True)
+    desc = out[BASELINE_ROW:]  # rows 7..9
+    if desc[-1].any():  # full-depth descender
+        out[BASELINE_ROW:] = _squash_band(desc, anchor_bottom=False)
+    return out
+
+
 @lru_cache(maxsize=None)
-def glyph_array(ch: str, form: int = 0) -> np.ndarray:
+def glyph_array(ch: str, form: int = 0, metrics: str = "cap7") -> np.ndarray:
     """[GRID_ROWS, w] bool bitmap for one character (space handled by the
     caller as pure advance). ``form``: 0 = the base _G shape, i >= 1 = the
     (i-1)-th _G_ALT alternate (clamped; characters without alternates
-    always return the base form)."""
+    always return the base form). ``metrics``: vertical-metric family
+    (METRICS_VARIANTS)."""
     rows = _G[ch]
     if form > 0 and ch in _G_ALT:
         alts = _norm_alt(_G_ALT[ch])
@@ -204,7 +247,7 @@ def glyph_array(ch: str, form: int = 0) -> np.ndarray:
         for j, c in enumerate(r):
             if c == "#":
                 out[i, j] = True
-    return out
+    return _apply_metrics(out, metrics)
 
 
 def n_forms(ch: str) -> int:
@@ -236,6 +279,7 @@ def text_bitmap(
     letter_space: int = 1,
     word_space: int = 3,
     forms: Optional[dict[str, int]] = None,
+    metrics: str = "cap7",
 ) -> tuple[np.ndarray, list[tuple[str, int, int]]]:
     """Render ``text`` on the design grid.
 
@@ -265,7 +309,9 @@ def text_bitmap(
             continue
         if ch not in _G:
             continue
-        g = _apply_weight(glyph_array(ch, (forms or {}).get(ch, 0)), weight)
+        g = _apply_weight(
+            glyph_array(ch, (forms or {}).get(ch, 0), metrics), weight
+        )
         if not word:
             w_left = x
         word += ch
@@ -286,6 +332,7 @@ def render_pixel_line(
     letter_space: int = 1,
     word_space: int = 3,
     rng: Optional[np.random.Generator] = None,
+    metrics: Optional[str] = None,
 ) -> tuple[np.ndarray, list[tuple[str, tuple[float, float, float, float]]]]:
     """Render ``text`` nearest-upscaled by a (possibly fractional) factor.
 
@@ -306,7 +353,11 @@ def render_pixel_line(
             for ch in set(text)
             if ch in _G_ALT
         }
-    grid, spans = text_bitmap(text, weight, letter_space, word_space, forms)
+        if metrics is None:
+            metrics = str(rng.choice(METRICS_VARIANTS))
+    grid, spans = text_bitmap(
+        text, weight, letter_space, word_space, forms, metrics or "cap7"
+    )
     gh, gw = grid.shape
     out_h = max(int(round(gh * scale)), 1)
     out_w = max(int(round(gw * scale)), 1)
