@@ -173,21 +173,8 @@ class RecognitionDataset:
             self._offsets = data["offsets"]
             self._widths = data["widths"]
             self._texts = list(data["texts"])
-            # Concatenate further pre-rendered caches (distribution mixing
-            # for fine-tuning: e.g. the original styled set + an
-            # edge-tight/confusable top-up).
-            for extra in extra_caches or []:
-                d = np.load(extra, allow_pickle=True)
-                base = self._flat.shape[0]
-                self._flat = np.concatenate([self._flat, d["flat"]])
-                self._offsets = np.concatenate(
-                    [self._offsets, d["offsets"][1:] + base]
-                )
-                self._widths = np.concatenate([self._widths, d["widths"]])
-                self._texts.extend(list(d["texts"]))
+            self._append_caches(extra_caches)
             return
-        if extra_caches:
-            raise ValueError("extra_caches requires an existing cache_path")
         rng = np.random.default_rng(seed)
         crops_u8: list[np.ndarray] = []
         texts: list[str] = []
@@ -224,6 +211,22 @@ class RecognitionDataset:
                 widths=widths,
                 texts=np.array(texts, dtype=object),
             )
+        self._append_caches(extra_caches)
+
+    def _append_caches(self, extra_caches: Optional[list[str | Path]]) -> None:
+        """Concatenate further pre-rendered caches (distribution mixing for
+        fine-tuning: e.g. the original styled set + an edge-tight/confusable
+        top-up). Works whether the primary set was loaded or just rendered
+        (the extras are never written back into the primary cache)."""
+        for extra in extra_caches or []:
+            d = np.load(extra, allow_pickle=True)
+            base = self._flat.shape[0]
+            self._flat = np.concatenate([self._flat, d["flat"]])
+            self._offsets = np.concatenate(
+                [self._offsets, d["offsets"][1:] + base]
+            )
+            self._widths = np.concatenate([self._widths, d["widths"]])
+            self._texts.extend(list(d["texts"]))
 
     def __len__(self) -> int:
         return len(self._widths)

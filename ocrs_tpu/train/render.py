@@ -212,16 +212,26 @@ def sample_word(rng: np.random.Generator, alphabet: str = DEFAULT_ALPHABET) -> s
         # decades/ordinals ("2000s", "20th"), capital-I words ("Islands"),
         # and mixed runs that force shape discrimination.
         kind = rng.random()
-        if kind < 0.28:
+        if kind < 0.24:
             w = f"{int(rng.integers(10, 210)) * 10}s"
-        elif kind < 0.48:
+        elif kind < 0.42:
             n = int(rng.integers(1, 31))
             suf = {1: "st", 2: "nd", 3: "rd"}.get(n % 10 if n not in (11, 12, 13) else 0, "th")
             w = f"{n}{suf}"
-        elif kind < 0.62:
+        elif kind < 0.56:
             base = _VOCAB[int(rng.integers(len(_VOCAB)))]
             w = ("I" if rng.random() < 0.6 else "l") + base
-        elif kind < 0.82:
+        elif kind < 0.70:
+            # Caps-run acronyms ("ABC Islands", "DNA"): adjacent round
+            # capitals at low contrast + squeeze is where the shipped
+            # weights merged B+C into one 'B' (polar-bears golden, round-5
+            # diagnosis) — bias the pool toward round/confusable caps.
+            pool = "ABCDEFGOPQRSBBCCDDOO"
+            w = "".join(
+                pool[int(rng.integers(len(pool)))]
+                for _ in range(int(rng.integers(2, 5)))
+            )
+        elif kind < 0.84:
             # Single capital followed by a number ("A 2010 study"): the
             # narrow gap after a 1-char word is the goldens' remaining
             # missing-space class ("A2010"). The internal space survives
@@ -433,6 +443,12 @@ def draw_line_of_words(
     font_size = font.size
     boxes: list[WordBox] = []
     sup_font = None
+    # Tight-line regime (round 5): the polar-bears "fossil is" gap measures
+    # ~0.2 em BEFORE the 2x width-cap squeeze — the old per-gap law
+    # uniform(0.18, 0.85) puts ~zero mass there. A fifth of lines use
+    # uniformly tight gaps so the tight end pairs with the squeeze
+    # augmentation downstream (render_recognition_sample couples them).
+    tight_line = rng.random() < 0.22
     for _ in range(max_words):
         word = sample_word(rng, alphabet)
         render_word = word
@@ -463,7 +479,12 @@ def draw_line_of_words(
         # Spacing reaches down to 0.18em: post-squeeze (width-capped lines
         # resize under natural aspect) tight gaps are where the shipped
         # weights dropped inter-word spaces ("apopulation", "ofbrown").
-        x = box[3] + float(rng.uniform(0.18, 0.85)) * font_size
+        gap_em = (
+            float(rng.uniform(0.13, 0.32))
+            if tight_line
+            else float(rng.uniform(0.18, 0.85))
+        )
+        x = box[3] + gap_em * font_size
         if rng.random() < skip_glyph_prob:
             g = _SKIP_GLYPHS[int(rng.integers(len(_SKIP_GLYPHS)))]
             gx0, _, gx1, _ = draw.textbbox((x, y), g, font=font)
@@ -933,8 +954,22 @@ def render_recognition_sample(
     # Horizontal-squeeze augmentation: lines longer than the 2400px cap are
     # resized UNDER their natural aspect at inference
     # (recognition.rs:58-75 clamps resized width, squashing ~150-char lines
-    # to ~50% width) — cover that distortion explicitly.
-    if rng.random() < 0.3:
+    # to ~50% width) — cover that distortion explicitly. Tight-gap lines
+    # squeeze MORE often and harder: the golden failure ("fossil is" ->
+    # "fossilis") is a ~0.2 em gap under a 2x cap squeeze, so the two
+    # augmentations must co-occur, not merely coincide.
+    if len(kept) >= 2:
+        heights = sorted(wb.box[2] - wb.box[0] for wb in kept)
+        med_h = heights[len(heights) // 2]
+        min_gap = min(
+            b.box[1] - a.box[3] for a, b in zip(kept[:-1], kept[1:])
+        )
+        tight = min_gap < 0.33 * med_h
+    else:
+        tight = False
+    if tight and rng.random() < 0.55:
+        rw = max(int(rw * float(rng.uniform(0.42, 0.8))), 10)
+    elif rng.random() < 0.3:
         rw = max(int(rw * float(rng.uniform(0.45, 0.95))), 10)
     crop = prepare_text_line_host(page[None], poly, rw, out_h)
     return crop, " ".join(texts)
