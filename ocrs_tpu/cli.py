@@ -131,6 +131,15 @@ def build_parser() -> argparse.ArgumentParser:
         "rules) decoded as glyph soup; ~0.45 keeps real text (no reference "
         "counterpart)",
     )
+    p.add_argument(
+        "--rule-glyph",
+        default=None,
+        metavar="CH",
+        help="Reference-parity mode for ink rules (heading underlines, "
+        "horizontal separators): emit CH for each rule the text detector "
+        "ignored — the reference's pipeline detects such rules and decodes "
+        "them as '[' (its why-rust golden). Default: skip rules",
+    )
     p.add_argument("--version", action="version", version="ocrs-tpu 0.1.0")
     return p
 
@@ -237,6 +246,7 @@ def main(argv=None) -> int:
             deskew=args.deskew,
             vertical_text=args.vertical_text,
             min_line_confidence=args.min_line_conf,
+            rule_glyph=args.rule_glyph,
         )
     )
 

@@ -334,3 +334,76 @@ def _post(probs: jax.Array, *, out_hw: tuple[int, int], crop_hw: tuple[int, int]
     probs = probs[..., : crop_hw[0], : crop_hw[1]]
     probs = resize_bilinear(probs, out_hw)
     return probs.reshape(out_hw)
+
+
+class RuleRect(RotatedRect):
+    """An ink rule (solid horizontal bar: heading underline, table/section
+    separator) found by :func:`find_ink_rules`. A distinct type so the tag
+    travels with the rect through layout: recognition substitutes
+    ``OcrEngineParams.rule_glyph`` for lines made of these instead of
+    running the model."""
+
+
+def find_ink_rules(
+    image: jax.Array,
+    words: list[RotatedRect],
+    *,
+    ink_threshold: float = 0.15,
+    min_width: float = 40.0,
+    min_aspect: float = 5.0,
+    max_height_frac: float = 0.06,
+    min_fill: float = 0.55,
+) -> list[RuleRect]:
+    """Solid horizontal ink bars on the page that the TEXT detector did not
+    claim (heading underlines, horizontal separators).
+
+    The reference has no such stage — but its HierText-trained detector
+    fires on heading underline rules and its recognizer decodes them as
+    ``[`` (the why-rust golden's line 3 is exactly that,
+    /root/reference/ocrs-cli/test-data/why-rust.expected.txt). This
+    engine's detector is trained to IGNORE rules (measurably better on
+    figure-heavy pages); ``OcrEngineParams.rule_glyph`` re-creates the
+    reference's observable behaviour for output parity.
+
+    Host-side numpy analysis (runs only when the opt-in parity mode is on):
+    deviation-from-median ink mask, minus the detected word regions,
+    connected components, filtered to wide/flat/solid bars.
+    """
+    from scipy import ndimage
+
+    img = np.asarray(image)[0]  # (H, W) in [-0.5, 0.5]
+    h, w = img.shape
+    bg = float(np.median(img))
+    ink = np.abs(img - bg) > ink_threshold
+    # Carve out everything the text detector claimed (with a small margin).
+    for r in words:
+        br = r.bounding_rect()
+        t = max(int(br.top) - 2, 0)
+        b = min(int(br.bottom) + 3, h)
+        lf = max(int(br.left) - 2, 0)
+        rt = min(int(br.right) + 3, w)
+        ink[t:b, lf:rt] = False
+    labels, count = ndimage.label(ink)
+    if not count:
+        return []
+    rules: list[RuleRect] = []
+    for sl in ndimage.find_objects(labels):
+        bh = sl[0].stop - sl[0].start
+        bw = sl[1].stop - sl[1].start
+        if bw < min_width or bw < min_aspect * bh or bh > max_height_frac * h:
+            continue
+        fill = float(ink[sl].mean())
+        if fill < min_fill:
+            continue
+        rules.append(
+            RuleRect(
+                (
+                    (sl[1].start + sl[1].stop) / 2.0,
+                    (sl[0].start + sl[0].stop) / 2.0,
+                ),
+                (0.0, -1.0),
+                float(bw),
+                float(bh),
+            )
+        )
+    return rules

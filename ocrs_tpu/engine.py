@@ -92,6 +92,14 @@ class OcrEngineParams:
     #: counterpart; None = off (default). ~0.45 keeps real text (measured
     #: >=0.9 on the golden images) while dropping most stroke junk.
     min_line_confidence: Optional[float] = None
+    #: Reference-parity mode for ink rules (heading underlines, horizontal
+    #: separators). This engine's detector is trained to IGNORE rules —
+    #: measurably better on figure/table pages — but the reference's
+    #: HierText-trained pipeline detects them and decodes each as ``[``
+    #: (why-rust golden line 3). Set to that glyph to reproduce the
+    #: reference's observable output (detection.find_ink_rules); None
+    #: (default) keeps the junk-skipping behaviour.
+    rule_glyph: Optional[str] = None
 
 
 class OcrInput:
@@ -130,6 +138,7 @@ class OcrEngine:
             else None
         )
         self._debug = params.debug
+        self._rule_glyph = params.rule_glyph
         self._vertical_text = params.vertical_text
         self._min_line_confidence = params.min_line_confidence
         self._decode_method = params.decode_method
@@ -150,10 +159,19 @@ class OcrEngine:
         return OcrInput(prepare_image(image))
 
     def detect_words(self, input: OcrInput) -> list[RotatedRect]:
-        """Unordered oriented bounding rects of words (lib.rs:190-199)."""
+        """Unordered oriented bounding rects of words (lib.rs:190-199).
+
+        With ``rule_glyph`` set, ink rules the detector ignored are appended
+        as :class:`~ocrs_tpu.detection.RuleRect` entries so layout orders
+        them with the text and recognition emits the configured glyph."""
         if self._detector is None:
             raise ModelNotLoadedError("Detection model not loaded")
-        return self._detector.detect_words(input.image, debug=self._debug)
+        words = self._detector.detect_words(input.image, debug=self._debug)
+        if self._rule_glyph is not None:
+            from .detection import find_ink_rules
+
+            words = words + find_ink_rules(input.image, words)
+        return words
 
     def detect_text_pixels(self, input: OcrInput) -> jax.Array:
         """(H, W) per-pixel text probability map (lib.rs:201-214)."""
@@ -180,14 +198,36 @@ class OcrEngine:
         (lib.rs:231-254)."""
         if self._recognizer is None:
             raise ModelNotLoadedError("Recognition model not loaded")
+        rule_lines: dict[int, Optional[TextLine]] = {}
+        if self._rule_glyph is not None:
+            from .detection import RuleRect
+            from .text_items import TextChar
+
+            model_lines = []
+            for i, ws in enumerate(lines):
+                if ws and all(isinstance(r, RuleRect) for r in ws):
+                    rule_lines[i] = TextLine(
+                        [
+                            TextChar(self._rule_glyph, r.bounding_rect())
+                            for r in ws
+                        ]
+                    )
+                else:
+                    model_lines.append((i, ws))
+            lines_to_run: Sequence[Sequence[RotatedRect]] = [
+                ws for _, ws in model_lines
+            ]
+        else:
+            model_lines = list(enumerate(lines))
+            lines_to_run = lines
         vertical = None
         if self._vertical_text:
             from .layout import is_vertical_line
 
-            vertical = [is_vertical_line(ws) for ws in lines]
-        return self._recognizer.recognize_text_lines(
+            vertical = [is_vertical_line(ws) for ws in lines_to_run]
+        recognized = self._recognizer.recognize_text_lines(
             input.image,
-            lines,
+            lines_to_run,
             RecognitionOpt(
                 debug=self._debug,
                 decode_method=self._decode_method,
@@ -197,6 +237,14 @@ class OcrEngine:
             ),
             vertical=vertical,
         )
+        if not rule_lines:
+            return recognized
+        out: list[Optional[TextLine]] = [None] * len(lines)
+        for (i, _), tl in zip(model_lines, recognized):
+            out[i] = tl
+        for i, tl in rule_lines.items():
+            out[i] = tl
+        return out
 
     def prepare_recognition_input(
         self, input: OcrInput, line: Sequence[RotatedRect]

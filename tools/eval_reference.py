@@ -53,6 +53,7 @@ def build_engine(
     post_res: str | None = None,
     vertical: bool = False,
     min_line_conf: float | None = None,
+    rule_glyph: str | None = None,
 ):
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
     from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
@@ -62,6 +63,8 @@ def build_engine(
     det = load_detection_model(detect or str(weights_dir / "text-detection.npz"))
     rec = load_recognition_model(rec or str(weights_dir / "text-recognition.npz"))
     kwargs = {}
+    if rule_glyph:
+        kwargs["rule_glyph"] = rule_glyph
     if vertical:
         kwargs["vertical_text"] = True
     if postprocess is not None:
@@ -150,6 +153,15 @@ def main(argv=None) -> int:
         help="engine detection postprocess resolution override "
         "(engine default: model)",
     )
+    ap.add_argument(
+        "--rule-glyph",
+        default="[",
+        help="reference-parity mode for ink rules: the reference's "
+        "HierText-trained pipeline detects heading underline rules and "
+        "decodes each as '[' (why-rust golden line 3); this engine skips "
+        "rules by default, so the parity eval re-creates that behaviour "
+        "via OcrEngineParams.rule_glyph. Pass '' to disable.",
+    )
     args = ap.parse_args(argv)
 
     if args.pipeline:
@@ -157,7 +169,12 @@ def main(argv=None) -> int:
         run = lambda path: run_image_pipeline(runner, path)
     else:
         engine = build_engine(
-            args.detect, args.rec, args.beam, args.postprocess, args.post_res
+            args.detect,
+            args.rec,
+            args.beam,
+            args.postprocess,
+            args.post_res,
+            rule_glyph=args.rule_glyph or None,
         )
         run = lambda path: run_image(engine, path)
 
