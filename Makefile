@@ -6,9 +6,9 @@ PYTHON ?= python
 # hang interpreter startup; tests force the CPU backend in tests/conftest.py.
 CPU_ENV := PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 
-.PHONY: all native test test-e2e test-e2e-real eval-independent bench lint clean
+.PHONY: all native test test-js test-e2e test-e2e-real eval-independent bench lint clean
 
-all: native test
+all: native test test-js
 
 native: _build/libocrs_native.so
 
@@ -18,6 +18,16 @@ _build/libocrs_native.so: native/ocrs_native.cpp
 
 test: native
 	$(CPU_ENV) $(PYTHON) -m pytest tests/ -x -q
+
+# Extension pure-logic unit tests (js/extension/lib.test.js). Skips with a
+# notice when node is not installed (this repo's TPU image has no JS
+# runtime; CI runs them).
+test-js:
+	@if command -v node >/dev/null 2>&1; then \
+		cd js/extension && node --test; \
+	else \
+		echo "test-js: node not installed, skipping extension unit tests"; \
+	fi
 
 test-e2e: native
 	$(CPU_ENV) $(PYTHON) tools/test_e2e.py

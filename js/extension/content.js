@@ -60,6 +60,31 @@
     }
   }
 
+  function fillLine(line) {
+    // Materialize one recognized line as selectable transparent-ink words
+    // — shared by the lazy (hover pull) and eager (worker push) paths.
+    const el = lineEls.get(line.index);
+    if (!el || el.classList.contains("ocrs-done")) return;
+    el.classList.add("ocrs-done");
+    requested.add(line.index);
+    const baseL = parseFloat(el.style.left);
+    const baseT = parseFloat(el.style.top);
+    for (const w of line.words) {
+      const d = document.createElement("div");
+      d.className = "ocrs-word";
+      d.textContent = w.text;
+      const [l, t, r, b] = w.rect;
+      Object.assign(d.style, {
+        left: `${l + scroll[0] - baseL}px`,
+        top: `${t + scroll[1] - baseT}px`,
+        width: `${r - l}px`,
+        height: `${b - t}px`,
+        fontSize: `${Math.max(b - t - 2, 6)}px`,
+      });
+      el.appendChild(d);
+    }
+  }
+
   function recognize(indexes) {
     const todo = indexes.filter((i) => !requested.has(i));
     if (!todo.length) return;
@@ -71,27 +96,7 @@
           todo.forEach((i) => requested.delete(i));
           return;
         }
-        for (const line of resp.lines) {
-          const el = lineEls.get(line.index);
-          if (!el) continue;
-          el.classList.add("ocrs-done");
-          const baseL = parseFloat(el.style.left);
-          const baseT = parseFloat(el.style.top);
-          for (const w of line.words) {
-            const d = document.createElement("div");
-            d.className = "ocrs-word";
-            d.textContent = w.text;
-            const [l, t, r, b] = w.rect;
-            Object.assign(d.style, {
-              left: `${l + scroll[0] - baseL}px`,
-              top: `${t + scroll[1] - baseT}px`,
-              width: `${r - l}px`,
-              height: `${b - t}px`,
-              fontSize: `${Math.max(b - t - 2, 6)}px`,
-            });
-            el.appendChild(d);
-          }
-        }
+        resp.lines.forEach(fillLine);
       },
     );
   }
@@ -109,6 +114,11 @@
   chrome.runtime.onMessage.addListener((request) => {
     if (request.method === "showDetectedLines") {
       showLines(request.lines, request.scroll);
+    }
+    if (request.method === "linesRecognized") {
+      // Eager background pass (width-sorted batches in the worker) pushing
+      // results before the user hovers anything.
+      request.lines.forEach(fillLine);
     }
   });
 })();
