@@ -689,6 +689,17 @@ def main() -> None:
     if time.perf_counter() - t_start < POST_HEADLINE_BUDGET_S:
         probe = transport_probe()
         result["transport_probe"] = probe
+        # Analytic link sanity check (VERDICT r04 weak #8): what one page
+        # costs on the wire, so pages/s x page_mb_on_wire can be checked
+        # against the probe's h2d MB/s. hbm transport ships the full u8
+        # page; lowbw ships the host-resized u8 detector input plus packed
+        # line strips (strips ~= 64px x total line width, small next to the
+        # detector input).
+        if pipeline._transport_mode() == "lowbw":
+            mh, mw = det_model.input_shape()[2], det_model.input_shape()[3]
+            result["page_mb_on_wire"] = round(mh * mw / 1e6, 3)
+        else:
+            result["page_mb_on_wire"] = round(PAGE_H * PAGE_W / 1e6, 3)
 
         # Compute-only throughput with pages pre-staged in HBM: the primary
         # optimization metric. In this environment the host<->device link is

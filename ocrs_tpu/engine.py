@@ -100,6 +100,12 @@ class OcrEngineParams:
     #: reference's observable output (detection.find_ink_rules); None
     #: (default) keeps the junk-skipping behaviour.
     rule_glyph: Optional[str] = None
+    #: Insert missing spaces at DETECTED word boundaries
+    #: (recognition.arbitrate_word_gaps): when the recognizer runs two
+    #: words together at a tight gap but the detector produced two word
+    #: rects there, trust the detector — unless a decoded glyph spans the
+    #: boundary. TPU extension, no reference counterpart.
+    detection_word_spaces: bool = False
 
 
 class OcrInput:
@@ -139,6 +145,7 @@ class OcrEngine:
         )
         self._debug = params.debug
         self._rule_glyph = params.rule_glyph
+        self._detection_word_spaces = params.detection_word_spaces
         self._vertical_text = params.vertical_text
         self._min_line_confidence = params.min_line_confidence
         self._decode_method = params.decode_method
@@ -237,6 +244,15 @@ class OcrEngine:
             ),
             vertical=vertical,
         )
+        if self._detection_word_spaces:
+            from .recognition import arbitrate_word_gaps
+
+            recognized = [
+                tl
+                if (vertical is not None and vertical[i])
+                else arbitrate_word_gaps(lines_to_run[i], tl)
+                for i, tl in enumerate(recognized)
+            ]
         if not rule_lines:
             return recognized
         out: list[Optional[TextLine]] = [None] * len(lines)

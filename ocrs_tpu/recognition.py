@@ -979,3 +979,60 @@ def _text_lines_from_results(results: list[_LineResult], alphabet: str):
 
         out.append(TextLine(chars) if chars else None)
     return out
+
+
+def arbitrate_word_gaps(line_rects, text_line, *, span_margin: float = 0.5):
+    """Insert missing spaces at DETECTED word boundaries.
+
+    The detector is a second witness of word segmentation: when a line's
+    decode runs two words together ("fossil is" -> "fossilis" at the
+    polar-bears golden's tightest gap under the 2x width-cap squeeze), the
+    detector has usually still produced two word rects with a gap between
+    them. For each adjacent pair of the line's word rects, if no decoded
+    space covers the gap and no decoded glyph SPANS the gap midpoint (a
+    spanning glyph means the recognizer merged ink across the boundary —
+    e.g. a wide char rect absorbing its neighbour — where inserting would
+    corrupt the word), insert a space TextChar at the gap.
+
+    No reference counterpart: the reference relies on its recognizer alone
+    for spaces (recognition.rs decode). Returns a new TextLine (or the
+    input unchanged).
+    """
+    from .text_items import TextChar, TextLine
+
+    if text_line is None or len(line_rects) < 2:
+        return text_line
+    chars = list(text_line.chars())
+    if not chars:
+        return text_line
+    rects = sorted((r.bounding_rect() for r in line_rects), key=lambda b: b.left)
+    inserted = False
+    for a, b in zip(rects[:-1], rects[1:]):
+        if b.left <= a.left or b.right <= a.right:
+            continue  # nested/degenerate boxes, not a reading-order pair
+        mid = (a.right + b.left) / 2.0
+        blocked = False
+        covered = False
+        for c in chars:
+            cl, cr = c.rect.left, c.rect.right
+            if c.char == " ":
+                if cl <= mid <= cr or (a.right - 2.0 <= cl and cr <= b.left + 2.0):
+                    covered = True
+                    break
+            elif cl < mid - span_margin and cr > mid + span_margin:
+                blocked = True
+                break
+        if covered or blocked:
+            continue
+        pos = 0
+        while pos < len(chars) and (chars[pos].rect.left + chars[pos].rect.right) / 2.0 <= mid:
+            pos += 1
+        if pos == 0 or pos >= len(chars):
+            continue  # gap outside the decoded span: nothing to separate
+        top = min(a.top, b.top)
+        bottom = max(a.bottom, b.bottom)
+        left = min(a.right, mid - 0.5)
+        right = max(b.left, mid + 0.5)
+        chars.insert(pos, TextChar(" ", Rect.from_tlbr(top, left, bottom, right)))
+        inserted = True
+    return TextLine(chars) if inserted else text_line

@@ -167,6 +167,11 @@ _VOCAB = (
     "island islands study century thread safety compile-time"
 ).split()
 
+#: Words whose FIRST glyph is a thin vertical stem (i/l/t/f/j/r): the
+#: space-or-not decision at a tight gap is hardest when the gap borders a
+#: stem indistinguishable from intra-word letter spacing.
+_THIN_START_VOCAB = [w for w in _VOCAB if w[0] in "iltfjr"]
+
 _SENTENCE_PUNCT = ".,;:!?"
 _WRAPPERS = (("(", ")"), ("[", "]"), ('"', '"'), ("'", "'"), ("{", "}"), ("<", ">"))
 
@@ -445,12 +450,35 @@ def draw_line_of_words(
     sup_font = None
     # Tight-line regime (round 5): the polar-bears "fossil is" gap measures
     # ~0.2 em BEFORE the 2x width-cap squeeze — the old per-gap law
-    # uniform(0.18, 0.85) puts ~zero mass there. A fifth of lines use
+    # uniform(0.18, 0.85) puts ~zero mass there. A subset of lines uses
     # uniformly tight gaps so the tight end pairs with the squeeze
     # augmentation downstream (render_recognition_sample couples them).
-    tight_line = rng.random() < 0.22
-    for _ in range(max_words):
+    # Floor 0.15 em, NOT lower: the first round-5 fine-tune trained
+    # 0.13 em gaps under 0.42x squeeze — ~2.6 px of gap that blur/JPEG
+    # erases, i.e. space labels the pixels don't support — and the model
+    # responded by dropping marginal spaces everywhere ("ofthe",
+    # "apopulation" regressions on the golden). Labels must stay faithful
+    # to the pixels (same lesson as the blockify snap threshold, round 4).
+    tight_line = rng.random() < 0.15
+    # Table-row regime (round 5): the independent table-figure page decodes
+    # cell borders in WIDE cell gaps as letter soup ("throughput rt 67 wan
+    # se r pages") — multi-em inter-word gaps never occurred in training, so
+    # whatever ink sits in them (rules, borders) is read as glyphs. A tenth
+    # of non-tight lines use cell-scale gaps; render_recognition_sample
+    # draws column rules into wide-gap lines at a much higher rate.
+    table_line = (not tight_line) and rng.random() < 0.10
+    for widx in range(max_words):
         word = sample_word(rng, alphabet)
+        if tight_line and widx > 0 and rng.random() < 0.5:
+            # Thin-stem boundary emphasis: the residual golden failure
+            # ("fossil is" -> "fossilis") is a tight gap between a thin
+            # terminal stem (l) and a thin initial stem (i) — visually the
+            # most space-ambiguous junction. Bias tight lines toward words
+            # STARTING with a thin letter so that junction class dominates
+            # the tight-gap supervision.
+            thin = _THIN_START_VOCAB
+            if thin:
+                word = thin[int(rng.integers(len(thin)))]
         render_word = word
         if "'" in word and rng.random() < 0.35:
             render_word = render_word.replace("'", _CURLY["'"])
@@ -479,11 +507,12 @@ def draw_line_of_words(
         # Spacing reaches down to 0.18em: post-squeeze (width-capped lines
         # resize under natural aspect) tight gaps are where the shipped
         # weights dropped inter-word spaces ("apopulation", "ofbrown").
-        gap_em = (
-            float(rng.uniform(0.13, 0.32))
-            if tight_line
-            else float(rng.uniform(0.18, 0.85))
-        )
+        if tight_line:
+            gap_em = float(rng.uniform(0.15, 0.32))
+        elif table_line:
+            gap_em = float(rng.uniform(1.2, 6.0))
+        else:
+            gap_em = float(rng.uniform(0.18, 0.85))
         x = box[3] + gap_em * font_size
         if rng.random() < skip_glyph_prob:
             g = _SKIP_GLYPHS[int(rng.integers(len(_SKIP_GLYPHS)))]
@@ -861,11 +890,17 @@ def render_recognition_sample(
             outline=int(round(style.fg * 255)),
             width=int(rng.integers(1, 4)),
         )
-    if len(kept) >= 2 and rng.random() < 0.12:
+    wide_gaps = len(kept) >= 2 and any(
+        b.box[1] - a.box[3] > 1.1 * (a.box[2] - a.box[0])
+        for a, b in zip(kept[:-1], kept[1:])
+    )
+    if len(kept) >= 2 and rng.random() < (0.5 if wide_gaps else 0.12):
         # Table COLUMN rules between words (round 4): the independent
         # table-figure eval decoded inter-cell rules as glyphs glued to the
         # neighbouring word ("metric" -> "metric|"). Vertical strokes in the
-        # word gaps, taller than the text, unlabeled.
+        # word gaps, taller than the text, unlabeled. Wide-gap (table-row)
+        # lines draw them at a much higher rate — that pairing is where the
+        # eval's junk comes from (round 5).
         bt = min(wb.box[0] for wb in kept)
         bb_ = max(wb.box[2] for wb in kept)
         over = float(rng.integers(2, 18))
@@ -968,7 +1003,11 @@ def render_recognition_sample(
     else:
         tight = False
     if tight and rng.random() < 0.55:
-        rw = max(int(rw * float(rng.uniform(0.42, 0.8))), 10)
+        # Bounded at 0.55x so a 0.15 em gap keeps >=0.08 em (~4 px at crop
+        # scale) of visible whitespace — the real failure case is 0.2 em
+        # under a ~0.5x cap squeeze, and going below "visible" makes the
+        # space labels contradict the pixels (see tight_line note above).
+        rw = max(int(rw * float(rng.uniform(0.55, 0.85))), 10)
     elif rng.random() < 0.3:
         rw = max(int(rw * float(rng.uniform(0.45, 0.95))), 10)
     crop = prepare_text_line_host(page[None], poly, rw, out_h)

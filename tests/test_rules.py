@@ -103,3 +103,37 @@ def test_engine_rule_glyph_emits_parity_line():
     # Text lines still come from the model, in input order.
     assert sum(tl is not None for tl in recognized) >= 1
     assert "[" in engine.get_text(inp)
+
+
+def test_arbitrate_word_gaps():
+    """Detector-witnessed space insertion (recognition.arbitrate_word_gaps):
+    inserts at an uncovered detection gap, leaves covered/spanned gaps
+    alone, and no-ops on merged (single-rect) lines."""
+    from ocrs_tpu.recognition import arbitrate_word_gaps
+    from ocrs_tpu.text_items import TextChar, TextLine
+
+    def rr(l, r):
+        return RotatedRect.from_rect(Rect.from_tlbr(0.0, l, 10.0, r))
+
+    def ch(c, l, r):
+        return TextChar(c, Rect.from_tlbr(0.0, l, 10.0, r))
+
+    # Two word rects with a gap at x 30..34; decode ran the words together.
+    line_rects = [rr(10, 30), rr(34, 60)]
+    tl = TextLine([ch("a", 10, 20), ch("b", 20, 30), ch("c", 34, 45), ch("d", 45, 60)])
+    out = arbitrate_word_gaps(line_rects, tl)
+    assert str(out) == "ab cd"
+    # The inserted space sits in the gap.
+    sp = [c for c in out.chars() if c.char == " "][0]
+    assert sp.rect.left >= 29 and sp.rect.right <= 35
+
+    # Already-covered gap: unchanged object.
+    tl2 = TextLine([ch("a", 10, 30), ch(" ", 30, 34), ch("c", 34, 60)])
+    assert arbitrate_word_gaps(line_rects, tl2) is tl2
+
+    # A glyph spanning the gap blocks insertion (recognizer merged ink).
+    tl3 = TextLine([ch("a", 10, 28), ch("W", 28, 40), ch("c", 40, 60)])
+    assert str(arbitrate_word_gaps(line_rects, tl3)) == "aWc"
+
+    # Single detected rect (detector merged the words): no-op.
+    assert arbitrate_word_gaps([rr(10, 60)], tl) is tl

@@ -54,6 +54,7 @@ def build_engine(
     vertical: bool = False,
     min_line_conf: float | None = None,
     rule_glyph: str | None = None,
+    detection_word_spaces: bool = False,
 ):
     from ocrs_tpu.engine import OcrEngine, OcrEngineParams
     from ocrs_tpu.models.weights import load_detection_model, load_recognition_model
@@ -65,6 +66,8 @@ def build_engine(
     kwargs = {}
     if rule_glyph:
         kwargs["rule_glyph"] = rule_glyph
+    if detection_word_spaces:
+        kwargs["detection_word_spaces"] = True
     if vertical:
         kwargs["vertical_text"] = True
     if postprocess is not None:
@@ -162,6 +165,12 @@ def main(argv=None) -> int:
         "rules by default, so the parity eval re-creates that behaviour "
         "via OcrEngineParams.rule_glyph. Pass '' to disable.",
     )
+    ap.add_argument(
+        "--det-spaces",
+        action="store_true",
+        help="engine detection_word_spaces: insert missing spaces at "
+        "detected word boundaries (recognition.arbitrate_word_gaps)",
+    )
     args = ap.parse_args(argv)
 
     if args.pipeline:
@@ -175,6 +184,7 @@ def main(argv=None) -> int:
             args.postprocess,
             args.post_res,
             rule_glyph=args.rule_glyph or None,
+            detection_word_spaces=args.det_spaces,
         )
         run = lambda path: run_image(engine, path)
 
